@@ -1,0 +1,313 @@
+"""WaveNetInfer — the inference engine with API parity to the reference's
+`nvWavenetInfer` class (`/root/reference/nv_wavenet.cuh:220-640`).
+
+Same surface: constructor with model geometry + implementation choice,
+weight-upload setters, `set_inputs`, `run` / `run_partial` / `run_chunks`
+(chunked generation with a host consume callback), and activation getters
+backed by a dump mode.  Differences are deliberate TPU-first design:
+
+  * the engine is CACHED and jitted once per (config, batch, chunk, mode)
+    instead of rebuilt per call (the reference rebuilds the whole engine on
+    every `wavenet_infer()` call, `pytorch/wavenet_infer.cu:105-145`),
+  * R/S/A are runtime config, not compile-time templates,
+  * `Impl.PERSISTENT` maps to the fused Pallas VMEM-resident kernel;
+    `Impl.MANYBLOCK` maps to the XLA scan generator (weights streamed from
+    HBM each sample, for configs whose weights+state exceed VMEM);
+    SINGLE_BLOCK/DUAL_BLOCK are accepted for parity and map to PERSISTENT
+    (the reference needed them only because of GPU register-file limits —
+    SURVEY §7 "what deliberately does not carry over"),
+  * AUTO picks PERSISTENT when the VMEM plan fits, else MANYBLOCK — the
+    planning analog of the reference's AUTO heuristic + occupancy assert
+    (`nv_wavenet.cuh:502-509`, `nv_wavenet_util.cuh:42-58`).
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.models import params as params_lib
+from nv_wavenet_tpu.ops import persistent, scan_generate
+
+
+class Impl(enum.Enum):
+    """Implementation selector (API parity: `nv_wavenet.cuh:223-229`)."""
+    AUTO = 0
+    SINGLE_BLOCK = 1
+    DUAL_BLOCK = 2
+    PERSISTENT = 3
+    MANYBLOCK = 4
+
+
+# Conservative per-core VMEM budget for the persistent plan.  Replaces the
+# reference's occupancy assert: if the plan exceeds this, AUTO falls back to
+# the HBM-streaming scan path instead of failing to launch.
+DEFAULT_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+class WaveNetInfer:
+    def __init__(self,
+                 num_layers: int,
+                 max_dilation: int,
+                 R: int = 64,
+                 S: int = 256,
+                 A: int = 256,
+                 max_batch: int = 1,
+                 implementation: Impl = Impl.AUTO,
+                 tanh_embed: bool = True,
+                 chunk_size: int = 64,
+                 weight_dtype=jnp.float32,
+                 compute_dtype=jnp.float32,
+                 vmem_budget: int = DEFAULT_VMEM_BUDGET,
+                 interpret: bool = False):
+        self.cfg = WaveNetConfig(num_layers=num_layers, R=R, S=S, A=A,
+                                 max_dilation=max_dilation,
+                                 tanh_embed=tanh_embed)
+        self.max_batch = max_batch
+        self.implementation = implementation
+        self.chunk_size = chunk_size
+        self.weight_dtype = weight_dtype
+        self.compute_dtype = compute_dtype
+        self.vmem_budget = vmem_budget
+        self.interpret = interpret
+
+        cfg = self.cfg
+        L = cfg.num_layers
+        # canonical params assembled incrementally by the setters
+        self._np_params: Dict[str, np.ndarray] = {
+            "embed": np.zeros((2 * A, R), np.float32),
+            "dil_w": np.zeros((L, 2 * R, 2 * R), np.float32),
+            "dil_b": np.zeros((L, 2 * R), np.float32),
+            "rs_w": np.zeros((L, R, R + S), np.float32),
+            "rs_b": np.zeros((L, R + S), np.float32),
+            "out_w": np.zeros((S, A), np.float32),
+            "out_b": np.zeros((A,), np.float32),
+            "end_w": np.zeros((A, A), np.float32),
+            "end_b": np.zeros((A,), np.float32),
+        }
+        self._params: Optional[Dict[str, jax.Array]] = None  # device copy
+        self._cond: Optional[np.ndarray] = None
+        self._selectors: Optional[np.ndarray] = None
+        self._ring = None
+        self._y_state = None
+        self._dumps = None
+        self._gen_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    # weight upload (reference setter parity, `nv_wavenet.cuh:396-415`)
+    # ------------------------------------------------------------------
+
+    def _invalidate(self):
+        self._params = None
+
+    def set_embeddings(self, embed_prev, embed_cur):
+        """embed_prev/embed_cur: [R, A] (column per symbol)."""
+        self._np_params["embed"] = np.concatenate(
+            [np.asarray(embed_prev, np.float32).T,
+             np.asarray(embed_cur, np.float32).T], axis=0)
+        self._invalidate()
+
+    def set_layer_weights(self, layer, Wprev, Wcur, Bh, Wres, Bres, Wskip, Bskip):
+        """Reference math shapes: Wprev/Wcur [2R, R], Bh [2R], Wres [R, R],
+        Bres [R], Wskip [S, R], Bskip [S]."""
+        R = self.cfg.R
+        p = self._np_params
+        p["dil_w"][layer] = np.concatenate(
+            [np.asarray(Wprev, np.float32).T, np.asarray(Wcur, np.float32).T],
+            axis=0)
+        p["dil_b"][layer] = np.asarray(Bh, np.float32)
+        p["rs_w"][layer, :, :R] = np.asarray(Wres, np.float32).T
+        p["rs_w"][layer, :, R:] = np.asarray(Wskip, np.float32).T
+        p["rs_b"][layer, :R] = np.asarray(Bres, np.float32)
+        p["rs_b"][layer, R:] = np.asarray(Bskip, np.float32)
+        self._invalidate()
+
+    def set_out_weights(self, Wzs, Bzs, Wza, Bza):
+        """Wzs [A, S], Wza [A, A]."""
+        p = self._np_params
+        p["out_w"] = np.asarray(Wzs, np.float32).T.copy()
+        p["out_b"] = np.asarray(Bzs, np.float32).copy()
+        p["end_w"] = np.asarray(Wza, np.float32).T.copy()
+        p["end_b"] = np.asarray(Bza, np.float32).copy()
+        self._invalidate()
+
+    def set_reference_weights(self, ref: Dict):
+        """Upload a whole reference-shaped weight dict at once."""
+        self.set_embeddings(ref["embed_prev"], ref["embed_cur"])
+        for l in range(self.cfg.num_layers):
+            self.set_layer_weights(l, ref["Wprev"][l], ref["Wcur"][l],
+                                   ref["Bh"][l], ref["Wres"][l], ref["Bres"][l],
+                                   ref["Wskip"][l], ref["Bskip"][l])
+        self.set_out_weights(ref["Wzs"], ref["Bzs"], ref["Wza"], ref["Bza"])
+
+    def set_canonical_params(self, params: Dict):
+        """Upload params already in canonical layout (e.g. from the trainer's
+        export path)."""
+        params_lib.validate_canonical(params, self.cfg)
+        self._np_params = {k: np.asarray(v, np.float32) for k, v in params.items()}
+        self._invalidate()
+
+    # ------------------------------------------------------------------
+    # inputs (`nv_wavenet.cuh:417`)
+    # ------------------------------------------------------------------
+
+    def set_inputs(self, cond: np.ndarray, selectors: Optional[np.ndarray] = None,
+                   seed: int = 0):
+        """cond: [T, L, B, 2R] conditioning; selectors: [T, B] uniforms in
+        [0,1).  If selectors is None they are drawn from a seeded PRNG — the
+        analog of the reference's host-side rand() selectors
+        (`pytorch/wavenet_infer.cu:92-93`), but reproducible."""
+        T, L, B, C = cond.shape
+        assert L == self.cfg.num_layers and C == 2 * self.cfg.R, (
+            f"cond shape {cond.shape} does not match config "
+            f"(L={self.cfg.num_layers}, 2R={2 * self.cfg.R})")
+        assert B <= self.max_batch
+        if selectors is None:
+            selectors = np.random.RandomState(seed).uniform(
+                0, 1, size=(T, B)).astype(np.float32)
+        assert selectors.shape == (T, B)
+        self._cond = np.asarray(cond, np.float32)
+        self._selectors = np.asarray(selectors, np.float32)
+        self._reset_state(B)
+
+    def _reset_state(self, batch):
+        cfg = self.cfg
+        ring_dtype = (jnp.float32 if self.compute_dtype == jnp.float32
+                      else self.compute_dtype)
+        self._ring = jnp.zeros((cfg.ring_size, batch, cfg.R), ring_dtype)
+        self._y_state = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
+        self._scan_state = scan_generate.init_state(cfg, batch, ring_dtype)
+
+    # ------------------------------------------------------------------
+    # implementation selection
+    # ------------------------------------------------------------------
+
+    def _resolve_impl(self, batch) -> Impl:
+        impl = self.implementation
+        if impl in (Impl.SINGLE_BLOCK, Impl.DUAL_BLOCK):
+            return Impl.PERSISTENT
+        if impl == Impl.AUTO:
+            wb = 2 if self.weight_dtype == jnp.bfloat16 else 4
+            est = persistent.estimate_vmem_bytes(self.cfg, batch,
+                                                 self.chunk_size, wb)
+            return Impl.PERSISTENT if est <= self.vmem_budget else Impl.MANYBLOCK
+        return impl
+
+    def _device_params(self):
+        if self._params is None:
+            self._params = {k: jnp.asarray(v) for k, v in self._np_params.items()}
+        return self._params
+
+    def _persistent_gen(self, batch, mode, dump):
+        key = ("persistent", batch, self.chunk_size, mode, dump)
+        if key not in self._gen_cache:
+            self._gen_cache[key] = jax.jit(persistent.make_persistent_generator(
+                self.cfg, batch, self.chunk_size, mode=mode, dump=dump,
+                weight_dtype=self.weight_dtype, compute_dtype=self.compute_dtype,
+                interpret=self.interpret))
+        return self._gen_cache[key]
+
+    # ------------------------------------------------------------------
+    # generation (`nv_wavenet.cuh:636,:499,:445`)
+    # ------------------------------------------------------------------
+
+    def run(self, num_samples: int, batch_size: int,
+            mode: str = "sample", dump_activations: bool = False) -> np.ndarray:
+        """Generate `num_samples` for `batch_size` utterances.
+        Returns y: [batch, num_samples] int32 mu-law bins."""
+        return self.run_partial(0, num_samples, batch_size, mode,
+                                dump_activations)
+
+    def run_partial(self, init_sample: int, num_samples: int, batch_size: int,
+                    mode: str = "sample", dump_activations: bool = False
+                    ) -> np.ndarray:
+        """Generate [init_sample, init_sample+num_samples); carried state
+        makes chunked calls equal one full run."""
+        assert self._cond is not None, "set_inputs must be called first"
+        cfg = self.cfg
+        B = batch_size
+        cond = self._cond[init_sample:init_sample + num_samples, :, :B]
+        sel = self._selectors[init_sample:init_sample + num_samples, :B]
+        T = cond.shape[0]
+        assert T == num_samples, "set_inputs cond is shorter than requested run"
+
+        impl = self._resolve_impl(B)
+        params = self._device_params()
+
+        if impl == Impl.MANYBLOCK:
+            if init_sample == 0:
+                self._reset_state(B)
+            st, y, aux = scan_generate.generate(
+                params, self._scan_state, jnp.asarray(cond), jnp.asarray(sel),
+                cfg, mode=mode, dump=dump_activations,
+                compute_dtype=self.compute_dtype)
+            self._scan_state = st
+            if dump_activations:
+                self._dumps = jax.tree.map(np.asarray, aux)
+            return np.asarray(y)
+
+        # persistent kernel: pad T to a chunk multiple
+        if init_sample == 0:
+            self._reset_state(B)
+        chunk = self.chunk_size
+        pad = (-T) % chunk
+        if pad:
+            cond = np.concatenate(
+                [cond, np.zeros((pad,) + cond.shape[1:], cond.dtype)])
+            sel = np.concatenate([sel, np.zeros((pad, B), sel.dtype)])
+        gen = self._persistent_gen(B, mode, dump_activations)
+        out = gen(params, np.array([init_sample]), jnp.asarray(cond),
+                  jnp.asarray(sel), self._ring, self._y_state, n_valid=T)
+        y, ring, y_state = out[0], out[1], out[2]
+        # padded tail steps are masked in-kernel, so state is exact at any
+        # (even ragged) chunk boundary
+        self._ring, self._y_state = ring, y_state
+        if dump_activations and len(out) > 3:
+            xt, skip, zs, za, p = [np.asarray(o) for o in out[3:]]
+            self._dumps = {"xt": xt, "skip": skip, "zs": zs, "za": za, "p": p}
+        return np.asarray(y[:T]).T
+
+    def run_chunks(self, chunk_size: int, consume: Callable, num_samples: int,
+                   batch_size: int, mode: str = "sample") -> np.ndarray:
+        """Chunked generation with a host consume callback per chunk —
+        `run_chunks` parity (`nv_wavenet.cuh:445-497`).  The callback receives
+        (y_chunk [B, n], sample_offset, n).  Returns the full y."""
+        ys = []
+        off = 0
+        while off < num_samples:
+            n = min(chunk_size, num_samples - off)
+            y = self.run_partial(off, n, batch_size, mode=mode)
+            consume(y, off, n)
+            ys.append(y)
+            off += n
+        return np.concatenate(ys, axis=1)
+
+    # ------------------------------------------------------------------
+    # activation getters (dump mode, `nv_wavenet.cuh:424-444`)
+    # ------------------------------------------------------------------
+
+    def _dump(self, key):
+        assert self._dumps is not None, (
+            "run with dump_activations=True before reading activations")
+        return self._dumps[key]
+
+    def get_xt_out(self, layer: int) -> np.ndarray:
+        return self._dump("xt")[layer]
+
+    def get_skip_out(self, layer: int) -> np.ndarray:
+        return self._dump("skip")[layer]
+
+    def get_zs(self) -> np.ndarray:
+        return self._dump("zs")
+
+    def get_za(self) -> np.ndarray:
+        return self._dump("za")
+
+    def get_p(self) -> np.ndarray:
+        return self._dump("p")

@@ -1,0 +1,289 @@
+"""Fused Pallas "persistent" generation kernel — the heart of the framework.
+
+TPU-native replacement for the reference's persistent CUDA kernel
+(`/root/reference/nv_wavenet_persistent.cuh`).  The GPU design needs four
+kernel variants, cooperative launches, negative-zero sentinel dataflow, spin
+locks and named barriers because its only fast storage is the per-SM register
+file.  On TPU the whole network fits in VMEM, so the idiomatic design is ONE
+kernel that runs the ENTIRE generation:
+
+  * all weights are VMEM-resident for the whole call (loaded once — the
+    analog of the persistent variant's weights-in-registers,
+    `nv_wavenet_persistent.cuh:96-166`),
+  * the per-layer dilation FIFOs (packed ring buffer) live in a VMEM output
+    buffer aliased to an input, so state survives chunked calls
+    (replaces the (maxD+1)-deep global ring, `nv_wavenet.cuh:101-102,335`),
+  * the sequential sample loop is a `fori_loop` inside the kernel — no host
+    round trip and no kernel relaunch per sample,
+  * the Pallas grid iterates over conditioning CHUNKS: the BlockSpec
+    index_map streams each chunk's conditioning/selectors HBM->VMEM with
+    automatic double buffering, overlapping DMA with compute — the TPU analog
+    of `run_chunks`'s compute/copy overlap (`nv_wavenet.cuh:445-497`),
+  * per-sample math is straight-line MXU/VPU code: the warp-specialized
+    pipeline stages (`nv_wavenet.cuh:87-207`) collapse into four matmuls per
+    sample-step group (embedding one-hot GEMM, fused 2-tap dilated GEMM,
+    fused residual+skip GEMM, output stack GEMMs) — no sentinels, no spins,
+    no barriers, by construction of XLA's sequential semantics.
+
+Layouts: activations [B, C] (batch on sublanes, channels on lanes); weights
+[in, out]; see models/params.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nv_wavenet_tpu.config import WaveNetConfig
+
+PARAM_ORDER = ("embed", "dil_w", "dil_b", "rs_w", "rs_b",
+               "out_w", "out_b", "end_w", "end_b")
+
+
+def _dot(a, b, precision):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
+
+
+def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
+                 dump: bool, compute_dtype, precision,
+                 # refs (order fixed by the pallas_call below):
+                 t0_ref,                                   # scalar prefetch
+                 embed, dil_w, dil_b, rs_w, rs_b, out_w, out_b, end_w, end_b,
+                 cond, sel, ring_in, y_in,
+                 y_out, ring_out, y_state_out, *dump_refs):
+    L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
+    B = batch
+    dils, offs = cfg.dilations, cfg.ring_offsets
+
+    i = pl.program_id(0)
+
+    # First grid step: move carried state into the aliased output buffers.
+    @pl.when(i == 0)
+    def _():
+        ring_out[...] = ring_in[...]
+        y_state_out[...] = y_in[...]
+
+    t_base = t0_ref[0] + i * chunk
+
+    # Cumulative-sum matrix for the inverse-CDF selection: strictly-lower
+    # triangular + diagonal ones -> cumsum via one MXU matmul (deterministic
+    # summation order, faster than a lane-wise scan for A=256).
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (A, A), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)).astype(jnp.float32)
+
+    def sample_step(j, _):
+        t = t_base + j
+        # mask padded tail steps (T was padded to a chunk multiple): state and
+        # outputs advance only for real samples, so ragged run_partial
+        # boundaries keep exact state (reference contract:
+        # `nv_wavenet_test.cu:254` runs chunk 7 against 8 samples)
+        valid = (i * chunk + j) < t0_ref[1]
+
+        @pl.when(valid)
+        def _step():
+            _do_sample_step(j, t)
+        return 0
+
+    def _do_sample_step(j, t):
+        y_prev = y_state_out[0, :]
+        y_cur = y_state_out[1, :]
+
+        # --- embedding: one-hot x fused [2A, R] table (one GEMM) ---
+        ids = jax.lax.broadcasted_iota(jnp.int32, (B, A), 1)
+        onehot = jnp.concatenate(
+            [(ids == y_prev[:, None]), (ids == y_cur[:, None])], axis=-1
+        ).astype(compute_dtype)
+        x = _dot(onehot, embed[...].astype(compute_dtype), precision)
+        if cfg.tanh_embed:
+            x = jnp.tanh(x)
+        x = x.astype(compute_dtype)
+
+        skip = jnp.zeros((B, S), jnp.float32)
+        for l in range(L):
+            slot = offs[l] + jax.lax.bitwise_and(t, dils[l] - 1)
+            x_prev = ring_out[pl.ds(slot, 1)][0]           # [B, R] = x^l_{t-d}
+            ring_out[pl.ds(slot, 1)] = x.astype(ring_out.dtype)[None]
+            xcat = jnp.concatenate([x_prev.astype(compute_dtype), x], axis=-1)
+            z = _dot(xcat, dil_w[l].astype(compute_dtype), precision)
+            z = z + (dil_b[l].astype(jnp.float32)
+                     + cond[j, l].astype(jnp.float32))
+            h = jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
+            rs = _dot(h.astype(compute_dtype), rs_w[l].astype(compute_dtype),
+                      precision)
+            x = ((rs[:, :R] + rs_b[l, :R].astype(jnp.float32))
+                 + x.astype(jnp.float32)).astype(compute_dtype)
+            skip = (skip + rs[:, R:]) + rs_b[l, R:].astype(jnp.float32)
+            if dump:
+                dump_refs[0][l] = x.astype(jnp.float32)       # xt [L, B, R]
+                dump_refs[1][l] = skip                        # skip [L, B, S]
+
+        skip = jnp.maximum(skip, 0.0)
+        if dump:
+            dump_refs[1][L - 1] = skip
+        zs = jnp.maximum(
+            _dot(skip.astype(compute_dtype), out_w[...].astype(compute_dtype),
+                 precision) + out_b[0].astype(jnp.float32), 0.0)
+        za = _dot(zs.astype(compute_dtype), end_w[...].astype(compute_dtype),
+                  precision) + end_b[0].astype(jnp.float32)
+
+        m = jnp.max(za, axis=-1, keepdims=True)
+        e = jnp.exp(za - m)
+        ssum = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / ssum
+        if dump:
+            dump_refs[2][...] = zs
+            dump_refs[3][...] = za
+            dump_refs[4][...] = p
+
+        if mode == "argmax":
+            y = jnp.argmax(za, axis=-1).astype(jnp.int32)
+        else:
+            cum = _dot(p, tri, precision)                     # [B, A] cumsum
+            sel_t = sel[j][:, None]                           # [B, 1]
+            idx = jnp.sum((cum <= sel_t).astype(jnp.int32), axis=-1)
+            y = jnp.where(idx < A, idx, cfg.silence_bin).astype(jnp.int32)
+
+        y_state_out[0, :] = y_cur
+        y_state_out[1, :] = y
+        y_out[pl.ds(j, 1)] = y[None]
+
+    jax.lax.fori_loop(0, chunk, sample_step, 0, unroll=False)
+
+
+class PersistentPlan(NamedTuple):
+    cfg: WaveNetConfig
+    batch: int
+    chunk: int
+    mode: str
+    dump: bool
+    weight_dtype: jnp.dtype
+    interpret: bool
+
+
+def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
+                        weight_bytes: int = 4, act_bytes: int = 4) -> int:
+    """VMEM budget estimate — the planning analog of the reference's
+    occupancy assert (`nv_wavenet_util.cuh:42-58`)."""
+    w = cfg.weight_bytes(weight_bytes)
+    ring = cfg.ring_bytes(batch, act_bytes)
+    # cond/sel/y blocks are double-buffered by the pipeline
+    cond = 2 * chunk * cfg.num_layers * batch * 2 * cfg.R * act_bytes
+    sel = 2 * chunk * batch * 4
+    y = 2 * chunk * batch * 4
+    work = batch * (8 * cfg.R + 4 * cfg.S + 8 * cfg.A) * 4  # rough live set
+    tri = cfg.A * cfg.A * 4
+    return w + ring + cond + sel + y + work + tri
+
+
+def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
+                              mode: str = "sample", dump: bool = False,
+                              weight_dtype=jnp.float32,
+                              compute_dtype=jnp.float32,
+                              interpret: bool = False):
+    """Build a jittable `generate(params, t0, cond, sel, ring, y_state)`.
+
+    cond: [T, L, B, 2R] (T must be a multiple of `chunk`; the engine pads),
+    sel: [T, B], ring: [ring_size, B, R], y_state: [2, B] int32,
+    t0: [1] int32 absolute index of the first sample (ring addressing +
+    chunked `run_partial` parity).
+
+    Returns: y [T, B] int32, ring', y_state'  (+ dump arrays when dump=True).
+    """
+    L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
+    B = batch
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode, dump,
+                               compute_dtype, precision)
+
+    in_specs = [
+        # [t0, n_valid]: absolute first-sample index + number of real
+        # (unpadded) samples in this call, scalars in SMEM
+        pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
+        # weights (PARAM_ORDER): whole-array blocks whose index never changes
+        # -> fetched to VMEM once, resident for the whole grid (the
+        # weights-in-registers analog of the persistent CUDA variant)
+        pl.BlockSpec((2 * A, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, 2 * R, 2 * R), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, 2 * R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, R, R + S), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, R + S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((A, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        # streamed per-chunk inputs
+        pl.BlockSpec((chunk, L, B, 2 * R), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        # carried state (aliased to outputs)
+        pl.BlockSpec((cfg.ring_size, B, R), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((chunk, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.ring_size, B, R), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if dump:
+        out_specs += [
+            pl.BlockSpec((L, B, R), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, B, S), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    def generate(params: Dict, t0, cond, sel, ring, y_state, n_valid=None):
+        T = cond.shape[0]
+        assert T % chunk == 0, f"T={T} must be a multiple of chunk={chunk}"
+        if n_valid is None:
+            n_valid = T
+        grid = (T // chunk,)
+        out_shape = [
+            jax.ShapeDtypeStruct((T, B), jnp.int32),
+            jax.ShapeDtypeStruct(ring.shape, ring.dtype),
+            jax.ShapeDtypeStruct((2, B), jnp.int32),
+        ]
+        if dump:
+            out_shape += [
+                jax.ShapeDtypeStruct((L, B, R), jnp.float32),
+                jax.ShapeDtypeStruct((L, B, S), jnp.float32),
+                jax.ShapeDtypeStruct((B, A), jnp.float32),
+                jax.ShapeDtypeStruct((B, A), jnp.float32),
+                jax.ShapeDtypeStruct((B, A), jnp.float32),
+            ]
+        weights = [jnp.asarray(params[k], weight_dtype) if params[k].ndim > 1
+                   else jnp.asarray(params[k], weight_dtype)[None]
+                   for k in PARAM_ORDER]
+        # carried state aliases: inputs are [t0, 9 weights, cond, sel, ring,
+        # y_state] -> ring (input 12) aliases output 1, y_state (13) output 2
+        n_w = len(PARAM_ORDER)
+        aliases = {1 + n_w + 2: 1, 1 + n_w + 3: 2}
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            interpret=interpret,
+            # raise the scoped-VMEM cap: weights + ring + double-buffered
+            # cond chunks legitimately use most of the core's ~128MB VMEM
+            # (the planning check lives in the engine's AUTO heuristic)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(jnp.concatenate([jnp.asarray(t0, jnp.int32).reshape((1,)),
+                           jnp.asarray(n_valid, jnp.int32).reshape((1,))]),
+          *weights, cond, sel, ring, y_state)
+
+    return generate

@@ -1,0 +1,157 @@
+"""XLA streaming generator: the whole autoregressive loop as one `lax.scan`
+program — the TPU-native analog of the reference's MANYBLOCK variant
+(weights re-read from HBM every sample, `nv_wavenet_persistent.cuh:539-541`,
+`README.md:17`).
+
+One compiled XLA program runs the entire generation with zero host round
+trips per sample — the property the reference's cooperative persistent kernel
+exists to provide (`nv_wavenet.cuh` hot loop, SURVEY §3.1).  Unlike the Pallas
+persistent kernel (ops/persistent.py) the weights are not pinned in VMEM, so
+this path works for arbitrarily large configs; it is the AUTO fallback when
+the persistent kernel's VMEM budget is exceeded.
+
+The step math is the framework's canonical order (see models/golden.py
+docstring) so integer outputs match the golden model exactly under fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nv_wavenet_tpu.config import WaveNetConfig
+
+
+class GenState(NamedTuple):
+    """Carried generation state.
+
+    ring:   [ring_size, B, R] packed per-layer dilation FIFOs (see
+            WaveNetConfig.ring_offsets) — the O(sum d_l) replacement for the
+            reference's (maxD+1)-deep shared activation ring
+            (`nv_wavenet.cuh:101-102,335`).
+    y_prev, y_cur: [B] int32 last two emitted symbols (silence-initialized,
+            `nv_wavenet_reference.cpp:237-240`).
+    t:      [] int32 absolute sample index (drives ring slot addressing, so
+            state survives chunked `run_partial` calls).
+    """
+    ring: jax.Array
+    y_prev: jax.Array
+    y_cur: jax.Array
+    t: jax.Array
+
+
+def init_state(cfg: WaveNetConfig, batch: int, dtype=jnp.float32) -> GenState:
+    return GenState(
+        ring=jnp.zeros((cfg.ring_size, batch, cfg.R), dtype),
+        y_prev=jnp.full((batch,), cfg.silence_bin, jnp.int32),
+        y_cur=jnp.full((batch,), cfg.silence_bin, jnp.int32),
+        t=jnp.zeros((), jnp.int32),
+    )
+
+
+def embed_lookup(embed: jax.Array, y_prev: jax.Array, y_cur: jax.Array,
+                 A: int, tanh_embed: bool) -> jax.Array:
+    """x0 = [tanh](embed_prev[y_prev] + embed_cur[y_cur]) as ONE one-hot
+    matmul against the fused [2A, R] table — MXU-friendly replacement for the
+    reference's per-thread table reads (`nv_wavenet_singleblock.cuh:94-99`)."""
+    B = y_prev.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (B, A), 1)
+    onehot = jnp.concatenate(
+        [(ids == y_prev[:, None]), (ids == y_cur[:, None])], axis=-1
+    ).astype(embed.dtype)  # [B, 2A]
+    x = jnp.dot(onehot, embed, preferred_element_type=jnp.float32)
+    return jnp.tanh(x) if tanh_embed else x
+
+
+def select_from_probs(p: jax.Array, sel: jax.Array, fallback: int) -> jax.Array:
+    """First bin whose cumulative probability exceeds sel; fallback on scan
+    failure (mirrors `nv_wavenet_reference.cpp:106-121` + `softmax.cuh:155`)."""
+    A = p.shape[-1]
+    cum = jnp.cumsum(p, axis=-1)
+    idx = jnp.sum((cum <= sel[:, None]).astype(jnp.int32), axis=-1)
+    return jnp.where(idx < A, idx, fallback).astype(jnp.int32)
+
+
+def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
+                 sel_t: jax.Array, cfg: WaveNetConfig, mode: str = "sample",
+                 compute_dtype=jnp.float32):
+    """One autoregressive sample for all utterances in the batch.
+
+    cond_t: [L, B, 2R] conditioning for this step (bias NOT pre-folded; this
+    function adds dil_b, matching the golden model).  sel_t: [B] uniforms.
+    Returns (new_state, y [B] int32, aux dict of last-step activations).
+    """
+    L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
+    B = sel_t.shape[0]
+    dils, offs = cfg.dilations, cfg.ring_offsets
+    ring = state.ring
+
+    x = embed_lookup(params["embed"], state.y_prev, state.y_cur, A, cfg.tanh_embed)
+    x = x.astype(compute_dtype)
+    skip = jnp.zeros((B, S), jnp.float32)
+    xt_dump, skip_dump = [], []
+    for l in range(L):
+        slot = offs[l] + jax.lax.bitwise_and(state.t, dils[l] - 1)
+        x_prev = jax.lax.dynamic_slice_in_dim(ring, slot, 1, axis=0)[0]
+        ring = jax.lax.dynamic_update_slice_in_dim(ring, x[None].astype(ring.dtype),
+                                                   slot, axis=0)
+        xcat = jnp.concatenate([x_prev.astype(compute_dtype), x], axis=-1)
+        z = jnp.dot(xcat, params["dil_w"][l].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        z = z + (params["dil_b"][l] + cond_t[l]).astype(jnp.float32)
+        h = jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
+        rs = jnp.dot(h.astype(compute_dtype),
+                     params["rs_w"][l].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+        x = ((rs[:, :R] + params["rs_b"][l, :R]) + x.astype(jnp.float32)
+             ).astype(compute_dtype)
+        skip = (skip + rs[:, R:]) + params["rs_b"][l, R:]
+        xt_dump.append(x)
+        skip_dump.append(skip)
+    skip = jnp.maximum(skip, 0.0)
+    skip_dump[-1] = skip
+    zs = jnp.maximum(
+        jnp.dot(skip.astype(compute_dtype), params["out_w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32) + params["out_b"], 0.0)
+    za = jnp.dot(zs.astype(compute_dtype), params["end_w"].astype(compute_dtype),
+                 preferred_element_type=jnp.float32) + params["end_b"]
+    m = jnp.max(za, axis=-1, keepdims=True)
+    e = jnp.exp(za - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if mode == "argmax":
+        y = jnp.argmax(za, axis=-1).astype(jnp.int32)
+    else:
+        y = select_from_probs(p, sel_t, cfg.silence_bin)
+    new_state = GenState(ring=ring, y_prev=state.y_cur, y_cur=y, t=state.t + 1)
+    aux = {
+        "xt": jnp.stack(xt_dump).astype(jnp.float32),      # [L, B, R]
+        "skip": jnp.stack(skip_dump).astype(jnp.float32),  # [L, B, S]
+        "zs": zs, "za": za, "p": p,
+    }
+    return new_state, y, aux
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mode", "dump", "compute_dtype"))
+def generate(params: Dict, state: GenState, cond: jax.Array, selectors: jax.Array,
+             cfg: WaveNetConfig, mode: str = "sample", dump: bool = False,
+             compute_dtype=jnp.float32):
+    """Run the full sequential loop under one jit: scan over T samples.
+
+    cond: [T, L, B, 2R]; selectors: [T, B].
+    Returns (final_state, y [B, T], aux-from-last-sample or None).
+    """
+    def body(st, inp):
+        cond_t, sel_t = inp
+        new_st, y, aux = wavenet_step(params, st, cond_t, sel_t, cfg, mode,
+                                      compute_dtype)
+        return new_st, (y, aux) if dump else y
+
+    final_state, out = jax.lax.scan(body, state, (cond, selectors))
+    if dump:
+        ys, auxes = out
+        last_aux = jax.tree.map(lambda a: a[-1], auxes)
+        return final_state, ys.T, last_aux
+    return final_state, out.T, None

@@ -1,0 +1,130 @@
+"""Engine (WaveNetInfer) tests — the TPU analog of `nv_wavenet_test.cu`'s
+engine-level matrix: golden-model equivalence through the public engine API,
+deliberately uneven chunking (`run_chunks` with chunk 7 against 8 samples),
+implementation-enum dispatch, and the dump/getter observability surface.
+"""
+
+import numpy as np
+import pytest
+
+from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+from nv_wavenet_tpu.models import params as params_lib
+from nv_wavenet_tpu.models.golden import WaveNetGolden
+
+from tests.test_golden_vs_scan import make_case, rel_close
+
+
+def make_engine(cfg, batch, impl=Impl.AUTO, chunk=4, **kw):
+    return WaveNetInfer(num_layers=cfg.num_layers, max_dilation=cfg.max_dilation,
+                        R=cfg.R, S=cfg.S, A=cfg.A, max_batch=batch,
+                        implementation=impl, chunk_size=chunk,
+                        interpret=True, **kw)
+
+
+# Engine-level config matrix, mirroring nv_wavenet_test.cu:345-394 (shrunk to
+# interpreter-tractable sizes; the full-size configs run compiled on TPU via
+# tools/perf.py)
+MATRIX = [
+    (WaveNetConfig(num_layers=20, R=32, S=128, A=256, max_dilation=8),
+     Impl.PERSISTENT, 4),
+    (WaveNetConfig(num_layers=10, R=64, S=128, A=256, max_dilation=8),
+     Impl.PERSISTENT, 2),
+    (WaveNetConfig(num_layers=8, R=64, S=256, A=256, max_dilation=8),
+     Impl.MANYBLOCK, 2),
+    (WaveNetConfig(num_layers=6, R=32, S=128, A=512, max_dilation=8),
+     Impl.PERSISTENT, 2),
+    (WaveNetConfig(num_layers=4, R=32, S=128, A=1024, max_dilation=4),
+     Impl.MANYBLOCK, 1),
+]
+
+
+@pytest.mark.parametrize("cfg,impl,batch", MATRIX)
+def test_engine_matches_golden(cfg, impl, batch):
+    samples = 8
+    ref_w, cond, selectors = make_case(cfg, batch, samples, seed=21)
+    golden = WaveNetGolden(cfg, max_batch=batch, max_samples=samples)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, selectors)
+    y_gold = golden.run(samples, batch)
+
+    eng = make_engine(cfg, batch, impl)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, selectors)
+    y = eng.run(samples, batch, dump_activations=True)
+    assert np.array_equal(y_gold, y)
+
+    for l in range(cfg.num_layers):
+        assert rel_close(golden.get_xt_out(l), eng.get_xt_out(l), 1e-2,
+                         atol=3e-4)
+        assert rel_close(golden.get_skip_out(l), eng.get_skip_out(l), 1e-2,
+                         atol=3e-4)
+    assert rel_close(golden.get_zs(), eng.get_zs(), 1e-4, atol=2e-5)
+    assert rel_close(golden.get_za(), eng.get_za(), 1e-4, atol=2e-5)
+    assert rel_close(golden.get_p(), eng.get_p(), 1e-3)
+
+
+def test_engine_uneven_chunks():
+    """chunk_size 7 against 8 samples — forces a ragged final chunk exactly
+    like the reference test (`nv_wavenet_test.cu:254`,`:340`)."""
+    cfg = WaveNetConfig(num_layers=8, R=32, S=128, A=256, max_dilation=8)
+    batch, samples = 2, 8
+    ref_w, cond, selectors = make_case(cfg, batch, samples, seed=23)
+    golden = WaveNetGolden(cfg, max_batch=batch, max_samples=samples)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, selectors)
+    y_gold = golden.run(samples, batch)
+
+    eng = make_engine(cfg, batch, Impl.PERSISTENT, chunk=4)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, selectors)
+    chunks_seen = []
+    y = eng.run_chunks(7, lambda yc, off, n: chunks_seen.append((off, n)),
+                       samples, batch)
+    assert np.array_equal(y_gold, y)
+    assert chunks_seen == [(0, 7), (7, 1)]
+
+
+def test_engine_reuse_and_second_iteration():
+    """Re-running with the same uploaded weights/state must reproduce —
+    the reference runs every config twice re-using uploads
+    (`nv_wavenet_test.cu:241`)."""
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+    batch, samples = 2, 6
+    ref_w, cond, selectors = make_case(cfg, batch, samples, seed=29)
+    eng = make_engine(cfg, batch, Impl.PERSISTENT)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, selectors)
+    y1 = eng.run(samples, batch)
+    eng.set_inputs(cond, selectors)   # reset state, same inputs
+    y2 = eng.run(samples, batch)
+    assert np.array_equal(y1, y2)
+
+
+def test_auto_falls_back_to_manyblock_on_vmem_budget():
+    cfg = WaveNetConfig(num_layers=8, R=32, S=128, A=256, max_dilation=8)
+    eng = make_engine(cfg, 1, Impl.AUTO)
+    eng.vmem_budget = 1024  # absurdly small -> must pick MANYBLOCK
+    assert eng._resolve_impl(1) == Impl.MANYBLOCK
+    eng.vmem_budget = 512 * 1024 * 1024
+    assert eng._resolve_impl(1) == Impl.PERSISTENT
+
+
+def test_single_dual_map_to_persistent():
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    eng = make_engine(cfg, 1, Impl.SINGLE_BLOCK)
+    assert eng._resolve_impl(1) == Impl.PERSISTENT
+    eng2 = make_engine(cfg, 1, Impl.DUAL_BLOCK)
+    assert eng2._resolve_impl(1) == Impl.PERSISTENT
+
+
+def test_engine_generated_selectors_reproducible():
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    ref_w, cond, _ = make_case(cfg, 1, 6, seed=31)
+    eng = make_engine(cfg, 1, Impl.MANYBLOCK)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, selectors=None, seed=123)
+    y1 = eng.run(6, 1)
+    eng.set_inputs(cond, selectors=None, seed=123)
+    y2 = eng.run(6, 1)
+    assert np.array_equal(y1, y2)
