@@ -46,6 +46,10 @@ class WaveNetTrain(nn.Module):
     n_cond_channels: int = 80       # mel bins
     upsamp_window: int = 800
     upsamp_stride: int = 200
+    # exact-fp32 matmuls/convs: the default precision on TPU (and some CPU
+    # paths) is bf16-level, which breaks the train-vs-inference exact
+    # equivalence contract
+    precision: str = "highest"
 
     def setup(self):
         A, R, S = self.n_out_channels, self.n_residual_channels, self.n_skip_channels
@@ -56,24 +60,28 @@ class WaveNetTrain(nn.Module):
             kernel_size=(self.upsamp_window,),
             strides=(self.upsamp_stride,),
             padding="VALID",
+            precision=self.precision,
             name="upsample")
         self.cond_layer = nn.Conv(features=2 * R * L, kernel_size=(1,),
-                                  name="cond_layer")
+                                  precision=self.precision, name="cond_layer")
         dils = dilation_schedule(L, self.max_dilation)
         self.dilate_layers = [
             nn.Conv(features=2 * R, kernel_size=(2,), kernel_dilation=(d,),
-                    padding="VALID", name=f"dilate_{i}")
+                    padding="VALID", precision=self.precision,
+                    name=f"dilate_{i}")
             for i, d in enumerate(dils)]
         self.res_layers = [
-            nn.Conv(features=R, kernel_size=(1,), name=f"res_{i}")
+            nn.Conv(features=R, kernel_size=(1,), precision=self.precision,
+                    name=f"res_{i}")
             for i in range(L - 1)]
         self.skip_layers = [
-            nn.Conv(features=S, kernel_size=(1,), name=f"skip_{i}")
+            nn.Conv(features=S, kernel_size=(1,), precision=self.precision,
+                    name=f"skip_{i}")
             for i in range(L)]
         self.conv_out = nn.Conv(features=A, kernel_size=(1,), use_bias=False,
-                                name="conv_out")
+                                precision=self.precision, name="conv_out")
         self.conv_end = nn.Conv(features=A, kernel_size=(1,), use_bias=False,
-                                name="conv_end")
+                                precision=self.precision, name="conv_end")
         self._dilations = dils
 
     def _cond_acts(self, mel: jax.Array, length: int) -> jax.Array:

@@ -52,8 +52,16 @@ def init_state(cfg: WaveNetConfig, batch: int, dtype=jnp.float32) -> GenState:
     )
 
 
+def _prec(compute_dtype):
+    """fp32 compute uses exact-fp32 matmuls (the default on several backends
+    is bf16-level, which breaks the exact-match contract)."""
+    return (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def embed_lookup(embed: jax.Array, y_prev: jax.Array, y_cur: jax.Array,
-                 A: int, tanh_embed: bool) -> jax.Array:
+                 A: int, tanh_embed: bool,
+                 precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """x0 = [tanh](embed_prev[y_prev] + embed_cur[y_cur]) as ONE one-hot
     matmul against the fused [2A, R] table — MXU-friendly replacement for the
     reference's per-thread table reads (`nv_wavenet_singleblock.cuh:94-99`)."""
@@ -62,7 +70,8 @@ def embed_lookup(embed: jax.Array, y_prev: jax.Array, y_cur: jax.Array,
     onehot = jnp.concatenate(
         [(ids == y_prev[:, None]), (ids == y_cur[:, None])], axis=-1
     ).astype(embed.dtype)  # [B, 2A]
-    x = jnp.dot(onehot, embed, preferred_element_type=jnp.float32)
+    x = jnp.dot(onehot, embed, preferred_element_type=jnp.float32,
+                precision=precision)
     return jnp.tanh(x) if tanh_embed else x
 
 
@@ -77,7 +86,7 @@ def select_from_probs(p: jax.Array, sel: jax.Array, fallback: int) -> jax.Array:
 
 def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
                  sel_t: jax.Array, cfg: WaveNetConfig, mode: str = "sample",
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, forced_y_t: jax.Array | None = None):
     """One autoregressive sample for all utterances in the batch.
 
     cond_t: [L, B, 2R] conditioning for this step (bias NOT pre-folded; this
@@ -89,7 +98,9 @@ def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
     dils, offs = cfg.dilations, cfg.ring_offsets
     ring = state.ring
 
-    x = embed_lookup(params["embed"], state.y_prev, state.y_cur, A, cfg.tanh_embed)
+    prec = _prec(compute_dtype)
+    x = embed_lookup(params["embed"], state.y_prev, state.y_cur, A,
+                     cfg.tanh_embed, precision=prec)
     x = x.astype(compute_dtype)
     skip = jnp.zeros((B, S), jnp.float32)
     xt_dump, skip_dump = [], []
@@ -100,12 +111,12 @@ def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
                                                    slot, axis=0)
         xcat = jnp.concatenate([x_prev.astype(compute_dtype), x], axis=-1)
         z = jnp.dot(xcat, params["dil_w"][l].astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
         z = z + (params["dil_b"][l] + cond_t[l]).astype(jnp.float32)
         h = jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
         rs = jnp.dot(h.astype(compute_dtype),
                      params["rs_w"][l].astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
         x = ((rs[:, :R] + params["rs_b"][l, :R]) + x.astype(jnp.float32)
              ).astype(compute_dtype)
         skip = (skip + rs[:, R:]) + params["rs_b"][l, R:]
@@ -115,13 +126,19 @@ def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
     skip_dump[-1] = skip
     zs = jnp.maximum(
         jnp.dot(skip.astype(compute_dtype), params["out_w"].astype(compute_dtype),
-                preferred_element_type=jnp.float32) + params["out_b"], 0.0)
+                preferred_element_type=jnp.float32, precision=prec)
+        + params["out_b"], 0.0)
     za = jnp.dot(zs.astype(compute_dtype), params["end_w"].astype(compute_dtype),
-                 preferred_element_type=jnp.float32) + params["end_b"]
+                 preferred_element_type=jnp.float32, precision=prec) + params["end_b"]
     m = jnp.max(za, axis=-1, keepdims=True)
     e = jnp.exp(za - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    if mode == "argmax":
+    if forced_y_t is not None:
+        # teacher forcing: the autoregressive chain consumes ground-truth
+        # symbols instead of its own samples (used for exact train-vs-infer
+        # equivalence tests and likelihood scoring)
+        y = forced_y_t.astype(jnp.int32)
+    elif mode == "argmax":
         y = jnp.argmax(za, axis=-1).astype(jnp.int32)
     else:
         y = select_from_probs(p, sel_t, cfg.silence_bin)
@@ -134,24 +151,50 @@ def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
     return new_state, y, aux
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mode", "dump", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mode", "dump",
+                                             "compute_dtype", "return_za"))
 def generate(params: Dict, state: GenState, cond: jax.Array, selectors: jax.Array,
              cfg: WaveNetConfig, mode: str = "sample", dump: bool = False,
-             compute_dtype=jnp.float32):
+             compute_dtype=jnp.float32, forced_y=None, return_za: bool = False):
     """Run the full sequential loop under one jit: scan over T samples.
 
-    cond: [T, L, B, 2R]; selectors: [T, B].
-    Returns (final_state, y [B, T], aux-from-last-sample or None).
+    cond: [T, L, B, 2R]; selectors: [T, B]; forced_y: optional [T, B] int
+    teacher-forcing symbols.
+    Returns (final_state, y [B, T], aux) where aux is the last-sample
+    activation dict when dump=True, the per-step logits [T, B, A] when
+    return_za=True, else None.
     """
     def body(st, inp):
-        cond_t, sel_t = inp
+        cond_t, sel_t, forced_t = inp
         new_st, y, aux = wavenet_step(params, st, cond_t, sel_t, cfg, mode,
-                                      compute_dtype)
-        return new_st, (y, aux) if dump else y
+                                      compute_dtype, forced_y_t=forced_t)
+        if dump:
+            return new_st, (y, aux)
+        if return_za:
+            return new_st, (y, aux["za"])
+        return new_st, y
 
-    final_state, out = jax.lax.scan(body, state, (cond, selectors))
+    if forced_y is None:
+        # scan requires a uniform pytree; use selectors' shape as a dummy that
+        # is never read (forced_y_t=None is resolved statically below)
+        def body_nf(st, inp):
+            cond_t, sel_t = inp
+            new_st, y, aux = wavenet_step(params, st, cond_t, sel_t, cfg, mode,
+                                          compute_dtype)
+            if dump:
+                return new_st, (y, aux)
+            if return_za:
+                return new_st, (y, aux["za"])
+            return new_st, y
+        final_state, out = jax.lax.scan(body_nf, state, (cond, selectors))
+    else:
+        final_state, out = jax.lax.scan(body, state,
+                                        (cond, selectors, forced_y))
     if dump:
         ys, auxes = out
         last_aux = jax.tree.map(lambda a: a[-1], auxes)
         return final_state, ys.T, last_aux
+    if return_za:
+        ys, zas = out
+        return final_state, ys.T, zas
     return final_state, out.T, None

@@ -1,0 +1,84 @@
+"""Config-driven training CLI — `python -m nv_wavenet_tpu.train.cli -c
+configs/config.json`, the parity entry point for the reference's
+`python train.py -c config.json` (`/root/reference/pytorch/train.py:158-193`).
+
+The four config sections keep the reference's names (`pytorch/config.json`):
+train_config, data_config, dist_config, wavenet_config.  dist_config selects
+mesh axes (data_parallel x model_parallel) instead of NCCL URLs — multi-host
+bring-up is `jax.distributed.initialize` (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("-n", "--num_iters", type=int, default=None,
+                    help="override train_config.num_iters")
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    train_c = cfg["train_config"]
+    data_c = cfg["data_config"]
+    dist_c = cfg.get("dist_config", {})
+    wavenet_c = cfg["wavenet_config"]
+
+    from nv_wavenet_tpu.train import trainer
+    from nv_wavenet_tpu.train.data import (DataConfig, Mel2Samp, load_wav,
+                                           synthetic_clips)
+    from nv_wavenet_tpu.utils.mu_law import MAX_WAV_VALUE  # noqa: F401
+
+    data_cfg = DataConfig(
+        segment_length=data_c.get("segment_length", 16000),
+        mu_quantization=data_c.get("mu_quantization", 256),
+        filter_length=data_c.get("filter_length", 800),
+        hop_length=data_c.get("hop_length", 200),
+        win_length=data_c.get("win_length", 800),
+        sampling_rate=data_c.get("sampling_rate", 16000),
+        n_mel_channels=data_c.get("n_mel_channels", 80),
+        mel_fmin=data_c.get("mel_fmin", 0.0),
+        mel_fmax=data_c.get("mel_fmax", 8000.0),
+    )
+    if data_c.get("synthetic") or not data_c.get("training_files"):
+        clips = synthetic_clips(n_clips=4, length=4 * data_cfg.segment_length)
+    else:
+        with open(data_c["training_files"]) as f:
+            paths = [ln.strip() for ln in f if ln.strip()]
+        clips = [load_wav(p)[0] for p in paths]
+
+    ds = Mel2Samp(clips, data_cfg, seed=train_c.get("seed", 1234))
+    model = trainer.create_model(wavenet_c)
+    tcfg = trainer.TrainConfig(
+        learning_rate=train_c.get("learning_rate", 1e-3),
+        batch_size=train_c.get("batch_size", 4),
+        seed=train_c.get("seed", 1234),
+        iters_per_checkpoint=train_c.get("iters_per_checkpoint", 1000),
+    )
+    num_iters = args.num_iters or train_c.get("num_iters", 100)
+
+    mesh = None
+    dp = dist_c.get("data_parallel", 1)
+    mp = dist_c.get("model_parallel", 1)
+    if dp * mp > 1:
+        mesh = trainer.make_mesh(dp, mp)
+
+    out_dir = train_c.get("output_directory") or None
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        out_dir = os.path.abspath(out_dir)
+    state, losses = trainer.train(model, tcfg, ds.batches(tcfg.batch_size),
+                                  num_iters=num_iters, mesh=mesh,
+                                  ckpt_dir=out_dir)
+    print(f"final loss: {losses[-1]:.6f}")
+    return state, losses
+
+
+if __name__ == "__main__":
+    main()

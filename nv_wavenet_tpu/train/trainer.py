@@ -125,42 +125,24 @@ def param_partition_spec(path_tuple, leaf) -> P:
 
 
 def shard_train_state(state: TrainState, mesh: Mesh) -> Tuple[TrainState, Any]:
-    """Place params/opt state on the mesh: TP rules on 'model', replicated
-    over 'data' (the pjit analog of the reference's rank-0 broadcast)."""
+    """Place params (TP rules on 'model', replicated over 'data' — the pjit
+    analog of the reference's rank-0 broadcast) and re-derive the optimizer
+    state under jit so adam's mu/nu inherit the parameter shardings."""
     param_specs = jax.tree_util.tree_map_with_path(
         lambda p, x: param_partition_spec(p, x), state.params)
-
-    def to_sharding(spec):
-        return NamedSharding(mesh, spec)
-
-    param_shardings = jax.tree.map(to_sharding, param_specs,
+    param_shardings = jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                                   param_specs,
                                    is_leaf=lambda x: isinstance(x, P))
-    state_sharding = TrainState(
-        step=NamedSharding(mesh, P()),
-        apply_fn=state.apply_fn,
-        params=param_shardings,
-        tx=state.tx,
-        opt_state=jax.tree.map(
-            lambda x: NamedSharding(mesh, P()), state.opt_state,
-            is_leaf=lambda x: isinstance(x, jax.Array)),
-    )
-    # opt_state mirrors params (adam mu/nu have the same pytree structure)
-    opt_sharding = jax.tree.map(
-        to_sharding,
-        jax.tree.map(lambda s: s, state.opt_state,
-                     is_leaf=lambda x: isinstance(x, jax.Array)))
-    del opt_sharding
+    params = jax.tree.map(jax.device_put, state.params, param_shardings)
+    opt_state = jax.jit(state.tx.init)(params)
     placed = TrainState(
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
         apply_fn=state.apply_fn,
-        params=jax.tree.map(jax.device_put, state.params, param_shardings),
+        params=params,
         tx=state.tx,
-        opt_state=jax.tree.map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P()))
-            if isinstance(x, jax.Array) or isinstance(x, np.ndarray) else x,
-            state.opt_state),
+        opt_state=opt_state,
     )
-    return placed, state_sharding
+    return placed, param_shardings
 
 
 def make_sharded_train_step(mesh: Mesh):
