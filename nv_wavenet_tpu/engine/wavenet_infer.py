@@ -76,6 +76,7 @@ class WaveNetInfer:
         self.compute_dtype = compute_dtype
         self.vmem_budget = vmem_budget
         self.interpret = interpret
+        self.sampling_seed = 0  # used by mode="prng" (in-kernel TPU PRNG)
 
         cfg = self.cfg
         L = cfg.num_layers
@@ -224,11 +225,12 @@ class WaveNetInfer:
         return self.run_partial(0, num_samples, batch_size, mode,
                                 dump_activations)
 
-    def run_partial(self, init_sample: int, num_samples: int, batch_size: int,
-                    mode: str = "sample", dump_activations: bool = False
-                    ) -> np.ndarray:
-        """Generate [init_sample, init_sample+num_samples); carried state
-        makes chunked calls equal one full run."""
+    def _run_partial_device(self, init_sample: int, num_samples: int,
+                            batch_size: int, mode: str,
+                            dump_activations: bool):
+        """Dispatch generation of [init_sample, init_sample+num_samples) and
+        return the DEVICE y array [T, B] (not fetched) — enables async
+        pipelining of host readout against the next chunk's compute."""
         assert self._cond is not None, "set_inputs must be called first"
         cfg = self.cfg
         B = batch_size
@@ -239,10 +241,14 @@ class WaveNetInfer:
 
         impl = self._resolve_impl(B)
         params = self._device_params()
+        if init_sample == 0:
+            self._reset_state(B)
 
+        if mode == "prng" and impl == Impl.MANYBLOCK:
+            raise NotImplementedError(
+                "in-kernel PRNG sampling requires the PERSISTENT "
+                "implementation; use injected selectors with MANYBLOCK")
         if impl == Impl.MANYBLOCK:
-            if init_sample == 0:
-                self._reset_state(B)
             st, y, aux = scan_generate.generate(
                 params, self._scan_state, jnp.asarray(cond), jnp.asarray(sel),
                 cfg, mode=mode, dump=dump_activations,
@@ -250,11 +256,10 @@ class WaveNetInfer:
             self._scan_state = st
             if dump_activations:
                 self._dumps = jax.tree.map(np.asarray, aux)
-            return np.asarray(y)
+            return y.T  # [T, B] on device
 
-        # persistent kernel: pad T to a chunk multiple
-        if init_sample == 0:
-            self._reset_state(B)
+        # persistent kernel: pad T to a chunk multiple; padded tail steps are
+        # masked in-kernel so carried state stays exact at ragged boundaries
         chunk = self.chunk_size
         pad = (-T) % chunk
         if pad:
@@ -263,29 +268,50 @@ class WaveNetInfer:
             sel = np.concatenate([sel, np.zeros((pad, B), sel.dtype)])
         gen = self._persistent_gen(B, mode, dump_activations)
         out = gen(params, np.array([init_sample]), jnp.asarray(cond),
-                  jnp.asarray(sel), self._ring, self._y_state, n_valid=T)
-        y, ring, y_state = out[0], out[1], out[2]
-        # padded tail steps are masked in-kernel, so state is exact at any
-        # (even ragged) chunk boundary
-        self._ring, self._y_state = ring, y_state
+                  jnp.asarray(sel), self._ring, self._y_state, n_valid=T,
+                  seed=self.sampling_seed)
+        y, self._ring, self._y_state = out[0], out[1], out[2]
         if dump_activations and len(out) > 3:
             xt, skip, zs, za, p = [np.asarray(o) for o in out[3:]]
             self._dumps = {"xt": xt, "skip": skip, "zs": zs, "za": za, "p": p}
-        return np.asarray(y[:T]).T
+        return y[:T]
+
+    def run_partial(self, init_sample: int, num_samples: int, batch_size: int,
+                    mode: str = "sample", dump_activations: bool = False
+                    ) -> np.ndarray:
+        """Generate [init_sample, init_sample+num_samples); carried state
+        makes chunked calls equal one full run."""
+        y = self._run_partial_device(init_sample, num_samples, batch_size,
+                                     mode, dump_activations)
+        return np.asarray(y).T
 
     def run_chunks(self, chunk_size: int, consume: Callable, num_samples: int,
                    batch_size: int, mode: str = "sample") -> np.ndarray:
         """Chunked generation with a host consume callback per chunk —
         `run_chunks` parity (`nv_wavenet.cuh:445-497`).  The callback receives
-        (y_chunk [B, n], sample_offset, n).  Returns the full y."""
+        (y_chunk [B, n], sample_offset, n).
+
+        Compute/readout overlap (the reference's dual-stream + event scheme,
+        P8): chunk i+1's kernel is DISPATCHED before chunk i's samples are
+        fetched to the host, so JAX's async dispatch overlaps the device->host
+        copy + consume callback with the next chunk's generation."""
         ys = []
+        pending = []  # (device_y, offset, n)
         off = 0
         while off < num_samples:
             n = min(chunk_size, num_samples - off)
-            y = self.run_partial(off, n, batch_size, mode=mode)
-            consume(y, off, n)
-            ys.append(y)
+            y_dev = self._run_partial_device(off, n, batch_size, mode, False)
+            pending.append((y_dev, off, n))
             off += n
+            while len(pending) > 1:
+                yd, o, k = pending.pop(0)
+                y_host = np.asarray(yd).T
+                consume(y_host, o, k)
+                ys.append(y_host)
+        for yd, o, k in pending:
+            y_host = np.asarray(yd).T
+            consume(y_host, o, k)
+            ys.append(y_host)
         return np.concatenate(ys, axis=1)
 
     # ------------------------------------------------------------------

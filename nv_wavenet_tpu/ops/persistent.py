@@ -69,6 +69,7 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
         ring_out[...] = ring_in[...]
         y_state_out[...] = y_in[...]
 
+
     t_base = t0_ref[0] + i * chunk
 
     # Cumulative-sum matrix for the inverse-CDF selection: strictly-lower
@@ -145,7 +146,16 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
             y = jnp.argmax(za, axis=-1).astype(jnp.int32)
         else:
             cum = _dot(p, tri, precision)                     # [B, A] cumsum
-            sel_t = sel[j][:, None]                           # [B, 1]
+            if mode == "prng":
+                # device-side sampling randomness (the cuRAND analog): reseed
+                # per absolute sample index so draws are independent of the
+                # chunking and of run_partial boundaries
+                pltpu.prng_seed(t0_ref[2] + t)
+                bits = pltpu.prng_random_bits((B, 128)).astype(jnp.uint32)
+                sel_t = ((bits[:, :1] >> jnp.uint32(8)).astype(jnp.float32)
+                         * jnp.float32(2.0 ** -24))            # [B, 1] in [0,1)
+            else:
+                sel_t = sel[j][:, None]                        # [B, 1]
             idx = jnp.sum((cum <= sel_t).astype(jnp.int32), axis=-1)
             y = jnp.where(idx < A, idx, cfg.silence_bin).astype(jnp.int32)
 
@@ -204,9 +214,9 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                                compute_dtype, precision)
 
     in_specs = [
-        # [t0, n_valid]: absolute first-sample index + number of real
-        # (unpadded) samples in this call, scalars in SMEM
-        pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
+        # [t0, n_valid, seed]: absolute first-sample index, number of real
+        # (unpadded) samples in this call, PRNG seed (prng mode), in SMEM
+        pl.BlockSpec((3,), lambda i: (0,), memory_space=pltpu.SMEM),
         # weights (PARAM_ORDER): whole-array blocks whose index never changes
         # -> fetched to VMEM once, resident for the whole grid (the
         # weights-in-registers analog of the persistent CUDA variant)
@@ -243,7 +253,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
             pl.BlockSpec((B, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
 
-    def generate(params: Dict, t0, cond, sel, ring, y_state, n_valid=None):
+    def generate(params: Dict, t0, cond, sel, ring, y_state, n_valid=None,
+                 seed=0):
         T = cond.shape[0]
         assert T % chunk == 0, f"T={T} must be a multiple of chunk={chunk}"
         if n_valid is None:
@@ -283,7 +294,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
         )(jnp.concatenate([jnp.asarray(t0, jnp.int32).reshape((1,)),
-                           jnp.asarray(n_valid, jnp.int32).reshape((1,))]),
+                           jnp.asarray(n_valid, jnp.int32).reshape((1,)),
+                           jnp.asarray(seed, jnp.int32).reshape((1,))]),
           *weights, cond, sel, ring, y_state)
 
     return generate

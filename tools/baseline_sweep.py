@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Run the BASELINE.json config ladder on the real TPU and record measured
+numbers (appended to BASELINE.md by hand; printed as JSON lines here).
+
+Configs (BASELINE.json):
+ 1. 20L 32R/128S/256A maxD=128 batch=1 fp32  — exact vs golden + kHz
+ 2. 24L 64R/128S/256A batch=8 argmax          — bit-match vs golden + kHz
+ 3. 30L 64R/256S/256A bf16 weights batch=16   — stochastic sampling kHz
+ 4. 40L 128R/256S/256A batch=64 manyblock     — HBM-streaming kHz
+ 5. flagship 20L 64R/256S/256A maxD=512 b=16  — headline (bench.py config)
+
+Usage: python tools/baseline_sweep.py [--samples N] [--skip-golden]
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
+               check_golden_samples=0):
+    import jax
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+    from nv_wavenet_tpu.models import params as params_lib
+    from nv_wavenet_tpu.models.golden import WaveNetGolden
+
+    eng = WaveNetInfer(num_layers=cfg.num_layers, max_dilation=cfg.max_dilation,
+                       R=cfg.R, S=cfg.S, A=cfg.A, max_batch=batch,
+                       implementation=impl, chunk_size=chunk,
+                       weight_dtype=weight_dtype)
+    ref_w = params_lib.random_reference_weights(cfg, seed=1)
+    eng.set_reference_weights(ref_w)
+    rng = np.random.RandomState(0)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, batch, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, batch)).astype(np.float32)
+    eng.set_inputs(cond, sel)
+
+    exact = None
+    if check_golden_samples:
+        n = check_golden_samples
+        golden = WaveNetGolden(cfg, batch, n)
+        golden.set_reference_weights(ref_w)
+        golden.set_inputs(cond[:n], sel[:n])
+        y_gold = golden.run(n, batch, mode=mode)
+        eng.set_inputs(cond[:n], sel[:n])
+        y_eng = eng.run(n, batch, mode=mode)
+        exact = bool(np.array_equal(y_gold, y_eng))
+        eng.set_inputs(cond, sel)
+
+    eng.run(T, batch, mode=mode)  # warmup/compile
+    best = 0.0
+    for _ in range(3):
+        eng.set_inputs(cond, sel)
+        t0 = time.time()
+        y = eng.run(T, batch, mode=mode)
+        dt = time.time() - t0
+        best = max(best, T / dt / 1e3)
+    rec = {"config": name, "impl": eng._resolve_impl(batch).name,
+           "khz_per_utt": round(best, 2), "khz_total": round(best * batch, 1),
+           "batch": batch, "samples": T,
+           "weight_dtype": str(np.dtype(weight_dtype).name
+                               if weight_dtype == np.float32 else "bfloat16")}
+    if exact is not None:
+        rec["exact_match_vs_golden"] = exact
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=8192)
+    ap.add_argument("--skip-golden", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.config import WaveNetConfig
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl
+
+    T = args.samples
+    g = 0 if args.skip_golden else 16
+    recs = []
+    recs.append(run_config(
+        "1_20L_32R_128S_fp32_b1",
+        WaveNetConfig(num_layers=20, R=32, S=128, A=256, max_dilation=128),
+        1, T, 256, Impl.PERSISTENT, "sample", jnp.float32,
+        check_golden_samples=g))
+    recs.append(run_config(
+        "2_24L_64R_128S_argmax_b8",
+        WaveNetConfig(num_layers=24, R=64, S=128, A=256, max_dilation=128),
+        8, T, 256, Impl.PERSISTENT, "argmax", jnp.float32,
+        check_golden_samples=g))
+    recs.append(run_config(
+        "3_30L_64R_256S_bf16_b16",
+        WaveNetConfig(num_layers=30, R=64, S=256, A=256, max_dilation=128),
+        16, T, 256, Impl.PERSISTENT, "sample", jnp.bfloat16))
+    recs.append(run_config(
+        "4_40L_128R_256S_manyblock_b64",
+        WaveNetConfig(num_layers=40, R=128, S=256, A=256, max_dilation=128),
+        64, T // 2, 256, Impl.MANYBLOCK, "sample", jnp.float32))
+    recs.append(run_config(
+        "5_flagship_20L_64R_256S_maxd512_b16",
+        WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512),
+        16, T, 256, Impl.PERSISTENT, "sample", jnp.float32,
+        check_golden_samples=g))
+    print(json.dumps({"all": recs}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
