@@ -189,6 +189,17 @@ class WaveNetInfer:
     # implementation selection
     # ------------------------------------------------------------------
 
+    def _effective_chunk(self, batch) -> int:
+        """Largest chunk <= chunk_size whose double-buffered conditioning
+        stream + weights + ring fit the VMEM budget (the planning analog of
+        the reference's occupancy tuning, `README.md:66`)."""
+        wb = 2 if self.weight_dtype == jnp.bfloat16 else 4
+        chunk = self.chunk_size
+        while chunk > 8 and persistent.estimate_vmem_bytes(
+                self.cfg, batch, chunk, wb) > self.vmem_budget:
+            chunk //= 2
+        return chunk
+
     def _resolve_impl(self, batch) -> Impl:
         impl = self.implementation
         if impl in (Impl.SINGLE_BLOCK, Impl.DUAL_BLOCK):
@@ -196,7 +207,7 @@ class WaveNetInfer:
         if impl == Impl.AUTO:
             wb = 2 if self.weight_dtype == jnp.bfloat16 else 4
             est = persistent.estimate_vmem_bytes(self.cfg, batch,
-                                                 self.chunk_size, wb)
+                                                 self._effective_chunk(batch), wb)
             return Impl.PERSISTENT if est <= self.vmem_budget else Impl.MANYBLOCK
         return impl
 
@@ -206,10 +217,11 @@ class WaveNetInfer:
         return self._params
 
     def _persistent_gen(self, batch, mode, dump):
-        key = ("persistent", batch, self.chunk_size, mode, dump)
+        chunk = self._effective_chunk(batch)
+        key = ("persistent", batch, chunk, mode, dump)
         if key not in self._gen_cache:
             self._gen_cache[key] = jax.jit(persistent.make_persistent_generator(
-                self.cfg, batch, self.chunk_size, mode=mode, dump=dump,
+                self.cfg, batch, chunk, mode=mode, dump=dump,
                 weight_dtype=self.weight_dtype, compute_dtype=self.compute_dtype,
                 interpret=self.interpret))
         return self._gen_cache[key]
@@ -260,7 +272,7 @@ class WaveNetInfer:
 
         # persistent kernel: pad T to a chunk multiple; padded tail steps are
         # masked in-kernel so carried state stays exact at ragged boundaries
-        chunk = self.chunk_size
+        chunk = self._effective_chunk(B)
         pad = (-T) % chunk
         if pad:
             cond = np.concatenate(

@@ -90,7 +90,7 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
     utterances/sec scales linearly because the sample loop never leaves the
     chip, mirroring the reference's per-block-group batch ownership
     (`nv_wavenet_singleblock.cuh:264`)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     gen = persistent.make_persistent_generator(
         cfg, batch_per_device, chunk, mode=mode, weight_dtype=weight_dtype,
@@ -108,5 +108,5 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
         in_specs=(param_spec, P(None), P(None, None, "data", None),
                   P(None, "data"), P(None, "data", None), P(None, "data")),
         out_specs=(P(None, "data"), P(None, "data", None), P(None, "data")),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)

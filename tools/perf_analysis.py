@@ -1,0 +1,58 @@
+"""Per-step cost breakdown for the persistent kernel on real TPU: vary
+layers/batch/chunk/mode/dtype to locate fixed vs per-layer cost.  Also
+exercises prng mode on hardware."""
+import sys, time
+sys.path.insert(0, ".")
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.models import params as params_lib
+from nv_wavenet_tpu.ops import persistent
+
+
+def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
+            cdt=jnp.float32, label=""):
+    ref_w = params_lib.random_reference_weights(cfg, seed=1)
+    params = {k: jnp.asarray(v) for k, v in
+              params_lib.to_canonical(ref_w, cfg).items()}
+    rng = np.random.RandomState(0)
+    cond = jnp.asarray(rng.uniform(-0.5, 0.5,
+        (T, cfg.num_layers, batch, 2 * cfg.R)).astype(np.float32))
+    sel = jnp.asarray(rng.uniform(0, 1, (T, batch)).astype(np.float32))
+    ring = jnp.zeros((cfg.ring_size, batch, cfg.R),
+                     jnp.float32 if cdt == jnp.float32 else cdt)
+    ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
+    gen = jax.jit(persistent.make_persistent_generator(
+        cfg, batch, chunk, mode=mode, weight_dtype=wdt, compute_dtype=cdt))
+    y0 = np.asarray(gen(params, np.array([0]), cond, sel, ring, ys)[0])
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        out = gen(params, np.array([0]), cond, sel, ring, ys)
+        np.asarray(out[0])
+        best = min(best, time.time() - t0)
+    us = best / T * 1e6
+    print(f"{label:44s} L={cfg.num_layers:2d} B={batch:3d} chunk={chunk:4d} "
+          f"{mode:7s}: {us:6.2f} us/step  {T/best/1e3:8.1f} kHz/utt "
+          f"uniq={len(np.unique(y0))}", flush=True)
+    return us
+
+
+FL = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512)
+T = 4096
+measure(FL, 16, 256, T, label="flagship fp32")
+measure(FL, 16, 512, T, label="flagship fp32 chunk512")
+measure(FL, 16, 256, T, mode="argmax", label="flagship argmax (no select)")
+measure(FL, 16, 256, T, mode="prng", label="flagship prng sampling")
+measure(FL, 16, 256, T, wdt=jnp.bfloat16, label="flagship bf16 weights")
+measure(FL, 16, 256, T, wdt=jnp.bfloat16, cdt=jnp.bfloat16,
+        label="flagship bf16 weights+compute")
+measure(WaveNetConfig(num_layers=1, R=64, S=256, A=256, max_dilation=1),
+        16, 256, T, label="L=1 (fixed overhead probe)")
+measure(WaveNetConfig(num_layers=40, R=64, S=256, A=256, max_dilation=512),
+        16, 256, T, label="L=40")
+measure(FL, 1, 256, T, label="flagship B=1")
+measure(FL, 128, 256, T, label="flagship B=128")
+measure(FL, 256, 128, 2048, label="flagship B=256")
