@@ -173,8 +173,11 @@ class WaveNetInfer:
             selectors = np.random.RandomState(seed).uniform(
                 0, 1, size=(T, B)).astype(np.float32)
         assert selectors.shape == (T, B)
-        self._cond = np.asarray(cond, np.float32)
-        self._selectors = np.asarray(selectors, np.float32)
+        # stage inputs on device ONCE (the analog of the reference's
+        # device-pointer input path, `nv_wavenet_conversions.cuh:38-42` /
+        # `nv_wavenet_test.cu:359-365`); per-run slices then stay on device
+        self._cond = jnp.asarray(cond, jnp.float32)
+        self._selectors = jnp.asarray(selectors, jnp.float32)
         self._reset_state(B)
 
     def _reset_state(self, batch):
@@ -262,7 +265,7 @@ class WaveNetInfer:
                 "implementation; use injected selectors with MANYBLOCK")
         if impl == Impl.MANYBLOCK:
             st, y, aux = scan_generate.generate(
-                params, self._scan_state, jnp.asarray(cond), jnp.asarray(sel),
+                params, self._scan_state, cond, sel,
                 cfg, mode=mode, dump=dump_activations,
                 compute_dtype=self.compute_dtype)
             self._scan_state = st
@@ -275,12 +278,11 @@ class WaveNetInfer:
         chunk = self._effective_chunk(B)
         pad = (-T) % chunk
         if pad:
-            cond = np.concatenate(
-                [cond, np.zeros((pad,) + cond.shape[1:], cond.dtype)])
-            sel = np.concatenate([sel, np.zeros((pad, B), sel.dtype)])
+            cond = jnp.pad(cond, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            sel = jnp.pad(sel, ((0, pad), (0, 0)))
         gen = self._persistent_gen(B, mode, dump_activations)
-        out = gen(params, np.array([init_sample]), jnp.asarray(cond),
-                  jnp.asarray(sel), self._ring, self._y_state, n_valid=T,
+        out = gen(params, np.array([init_sample]), cond,
+                  sel, self._ring, self._y_state, n_valid=T,
                   seed=self.sampling_seed)
         y, self._ring, self._y_state = out[0], out[1], out[2]
         if dump_activations and len(out) > 3:

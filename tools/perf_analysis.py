@@ -17,10 +17,10 @@ def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
     ref_w = params_lib.random_reference_weights(cfg, seed=1)
     params = {k: jnp.asarray(v) for k, v in
               params_lib.to_canonical(ref_w, cfg).items()}
-    rng = np.random.RandomState(0)
-    cond = jnp.asarray(rng.uniform(-0.5, 0.5,
-        (T, cfg.num_layers, batch, 2 * cfg.R)).astype(np.float32))
-    sel = jnp.asarray(rng.uniform(0, 1, (T, batch)).astype(np.float32))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    cond = jax.random.uniform(k1, (T, cfg.num_layers, batch, 2 * cfg.R),
+                              jnp.float32, -0.5, 0.5)
+    sel = jax.random.uniform(k2, (T, batch), jnp.float32)
     ring = jnp.zeros((cfg.ring_size, batch, cfg.R),
                      jnp.float32 if cdt == jnp.float32 else cdt)
     ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
