@@ -43,7 +43,6 @@ def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
 FL = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512)
 T = 4096
 measure(FL, 16, 256, T, label="flagship fp32")
-measure(FL, 16, 512, T, label="flagship fp32 chunk512")
 measure(FL, 16, 256, T, mode="argmax", label="flagship argmax (no select)")
 measure(FL, 16, 256, T, mode="prng", label="flagship prng sampling")
 measure(FL, 16, 256, T, wdt=jnp.bfloat16, label="flagship bf16 weights")
