@@ -151,9 +151,12 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                 # per absolute sample index so draws are independent of the
                 # chunking and of run_partial boundaries
                 pltpu.prng_seed(t0_ref[2] + t)
-                bits = pltpu.prng_random_bits((B, 128)).astype(jnp.uint32)
-                sel_t = ((bits[:, :1] >> jnp.uint32(8)).astype(jnp.float32)
-                         * jnp.float32(2.0 ** -24))            # [B, 1] in [0,1)
+                bits = pltpu.bitcast(pltpu.prng_random_bits((B, 128)),
+                                     jnp.int32)
+                # top 24 bits -> uniform [0, 1); int32 path because Mosaic
+                # lacks a uint32->float32 cast
+                u24 = jax.lax.shift_right_logical(bits[:, :1], 8)
+                sel_t = u24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
             else:
                 sel_t = sel[j][:, None]                        # [B, 1]
             idx = jnp.sum((cum <= sel_t).astype(jnp.int32), axis=-1)

@@ -73,9 +73,15 @@ def main(argv=None):
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         out_dir = os.path.abspath(out_dir)
+    # resume parity (`train.py:102-107`): checkpoint_path = dir, plus the
+    # iteration to restore
+    resume_dir = train_c.get("checkpoint_path") or None
+    resume_it = train_c.get("checkpoint_iteration", 0)
     state, losses = trainer.train(model, tcfg, ds.batches(tcfg.batch_size),
                                   num_iters=num_iters, mesh=mesh,
-                                  ckpt_dir=out_dir)
+                                  ckpt_dir=out_dir,
+                                  resume_dir=resume_dir,
+                                  resume_iteration=resume_it)
     print(f"final loss: {losses[-1]:.6f}")
     return state, losses
 

@@ -199,11 +199,20 @@ def train(model: WaveNetTrain, train_cfg: TrainConfig,
           batches: Iterator[Tuple[np.ndarray, np.ndarray]],
           num_iters: int, mesh: Optional[Mesh] = None,
           ckpt_dir: Optional[str] = None,
-          log_every: int = 1) -> Tuple[TrainState, list]:
-    """Run `num_iters` steps; returns (final_state, loss_history).
-    Per-iteration loss printing mirrors `train.py:147`."""
+          log_every: int = 1,
+          resume_dir: Optional[str] = None,
+          resume_iteration: int = 0) -> Tuple[TrainState, list]:
+    """Run steps [start, num_iters); returns (final_state, loss_history).
+    Per-iteration loss printing mirrors `train.py:147`; checkpoint resume
+    restores model+optimizer+iteration and continues at iteration+1
+    (`train.py:62-71,102-107,127`)."""
     mel0, audio0 = next(batches)
     state = create_train_state(model, train_cfg, mel0, audio0)
+    start_iter = 0
+    if resume_dir:
+        state, it = load_checkpoint(resume_dir, resume_iteration, state)
+        start_iter = it
+        print(f"resumed from {resume_dir} at iteration {it}", flush=True)
     if mesh is not None:
         state, _ = shard_train_state(state, mesh)
         step_fn = make_sharded_train_step(mesh)
@@ -211,8 +220,8 @@ def train(model: WaveNetTrain, train_cfg: TrainConfig,
         step_fn = jax.jit(train_step, donate_argnums=(0,))
 
     losses = []
-    for it in range(num_iters):
-        mel, audio = (mel0, audio0) if it == 0 else next(batches)
+    for it in range(start_iter, num_iters):
+        mel, audio = (mel0, audio0) if it == start_iter else next(batches)
         state, loss = step_fn(state, jnp.asarray(mel), jnp.asarray(audio))
         loss = float(loss)
         losses.append(loss)
