@@ -65,7 +65,8 @@ class WaveNetInfer:
                  weight_dtype=jnp.float32,
                  compute_dtype=jnp.float32,
                  vmem_budget: int = DEFAULT_VMEM_BUDGET,
-                 interpret: bool = False):
+                 interpret: bool = False,
+                 fast_math: bool = False):
         self.cfg = WaveNetConfig(num_layers=num_layers, R=R, S=S, A=A,
                                  max_dilation=max_dilation,
                                  tanh_embed=tanh_embed)
@@ -76,6 +77,7 @@ class WaveNetInfer:
         self.compute_dtype = compute_dtype
         self.vmem_budget = vmem_budget
         self.interpret = interpret
+        self.fast_math = fast_math  # fp32 storage, single-pass MXU (not exact)
         self.sampling_seed = 0  # used by mode="prng" (in-kernel TPU PRNG)
 
         cfg = self.cfg
@@ -226,7 +228,7 @@ class WaveNetInfer:
             self._gen_cache[key] = jax.jit(persistent.make_persistent_generator(
                 self.cfg, batch, chunk, mode=mode, dump=dump,
                 weight_dtype=self.weight_dtype, compute_dtype=self.compute_dtype,
-                interpret=self.interpret))
+                interpret=self.interpret, fast_math=self.fast_math))
         return self._gen_cache[key]
 
     # ------------------------------------------------------------------

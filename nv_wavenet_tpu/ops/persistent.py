@@ -51,7 +51,7 @@ def _dot(a, b, precision):
 
 
 def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
-                 dump: bool, compute_dtype, precision,
+                 dump: bool, compute_dtype, precision, unroll,
                  # refs (order fixed by the pallas_call below):
                  t0_ref,                                   # scalar prefetch
                  embed, dil_w, dil_b, rs_w, rs_b, out_w, out_b, end_w, end_b,
@@ -166,7 +166,7 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
         y_state_out[1, :] = y
         y_out[pl.ds(j, 1)] = y[None]
 
-    jax.lax.fori_loop(0, chunk, sample_step, 0, unroll=False)
+    jax.lax.fori_loop(0, chunk, sample_step, 0, unroll=unroll)
 
 
 class PersistentPlan(NamedTuple):
@@ -198,7 +198,17 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                               mode: str = "sample", dump: bool = False,
                               weight_dtype=jnp.float32,
                               compute_dtype=jnp.float32,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              unroll: int = 1,
+                              fast_math: bool = False):
+    # NOTE: Pallas TPU fori_loop supports only unroll=1 or full unroll
+    # (=chunk); full unroll multiplies compile time by the chunk length.
+    #
+    # fast_math=True drops the fp32 matmuls from HIGHEST (multi-pass exact
+    # fp32 on the MXU) to DEFAULT (bf16-input single pass) — the analog of
+    # the reference's --use_fast_math build flag (`Makefile:30-35`).  It
+    # breaks the bit-exact-vs-golden contract; outputs remain
+    # distribution-correct.
     """Build a jittable `generate(params, t0, cond, sel, ring, y_state)`.
 
     cond: [T, L, B, 2R] (T must be a multiple of `chunk`; the engine pads),
@@ -211,10 +221,11 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
     L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
     B = batch
     precision = (jax.lax.Precision.HIGHEST
-                 if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+                 if compute_dtype == jnp.float32 and not fast_math
+                 else jax.lax.Precision.DEFAULT)
 
     kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode, dump,
-                               compute_dtype, precision)
+                               compute_dtype, precision, unroll)
 
     in_specs = [
         # [t0, n_valid, seed]: absolute first-sample index, number of real

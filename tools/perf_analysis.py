@@ -13,7 +13,7 @@ from nv_wavenet_tpu.ops import persistent
 
 
 def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
-            cdt=jnp.float32, label=""):
+            cdt=jnp.float32, label="", unroll=1, fast_math=False):
     ref_w = params_lib.random_reference_weights(cfg, seed=1)
     params = {k: jnp.asarray(v) for k, v in
               params_lib.to_canonical(ref_w, cfg).items()}
@@ -25,7 +25,8 @@ def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
                      jnp.float32 if cdt == jnp.float32 else cdt)
     ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
     gen = jax.jit(persistent.make_persistent_generator(
-        cfg, batch, chunk, mode=mode, weight_dtype=wdt, compute_dtype=cdt))
+        cfg, batch, chunk, mode=mode, weight_dtype=wdt, compute_dtype=cdt,
+        unroll=unroll, fast_math=fast_math))
     y0 = np.asarray(gen(params, np.array([0]), cond, sel, ring, ys)[0])
     best = 1e9
     for _ in range(3):
@@ -42,16 +43,10 @@ def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
 
 FL = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512)
 T = 4096
-measure(FL, 16, 256, T, label="flagship fp32")
-measure(FL, 16, 256, T, mode="argmax", label="flagship argmax (no select)")
-measure(FL, 16, 256, T, mode="prng", label="flagship prng sampling")
-measure(FL, 16, 256, T, wdt=jnp.bfloat16, label="flagship bf16 weights")
-measure(FL, 16, 256, T, wdt=jnp.bfloat16, cdt=jnp.bfloat16,
-        label="flagship bf16 weights+compute")
-measure(WaveNetConfig(num_layers=1, R=64, S=256, A=256, max_dilation=1),
-        16, 256, T, label="L=1 (fixed overhead probe)")
+measure(FL, 16, 256, T, label="flagship fast_math", fast_math=True)
 measure(WaveNetConfig(num_layers=40, R=64, S=256, A=256, max_dilation=512),
-        16, 256, T, label="L=40")
+        16, 64, T, label="L=40")
 measure(FL, 1, 256, T, label="flagship B=1")
-measure(FL, 128, 256, T, label="flagship B=128")
-measure(FL, 256, 128, 2048, label="flagship B=256")
+MD128 = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=128)
+measure(MD128, 128, 32, T, label="maxD128 B=128")
+measure(MD128, 256, 8, 2048, label="maxD128 B=256")
