@@ -96,6 +96,7 @@ class WaveNetInfer:
         }
         self._params: Optional[Dict[str, jax.Array]] = None  # device copy
         self._cond: Optional[np.ndarray] = None
+        self._cond_pre = None
         self._selectors: Optional[np.ndarray] = None
         self._ring = None
         self._y_state = None
@@ -108,6 +109,7 @@ class WaveNetInfer:
 
     def _invalidate(self):
         self._params = None
+        self._cond_pre = None
 
     def set_embeddings(self, embed_prev, embed_cur):
         """embed_prev/embed_cur: [R, A] (column per symbol)."""
@@ -179,6 +181,7 @@ class WaveNetInfer:
         # device-pointer input path, `nv_wavenet_conversions.cuh:38-42` /
         # `nv_wavenet_test.cu:359-365`); per-run slices then stay on device
         self._cond = jnp.asarray(cond, jnp.float32)
+        self._cond_pre = None   # dil_b-prefolded copy, built lazily per weights
         self._selectors = jnp.asarray(selectors, jnp.float32)
         self._reset_state(B)
 
@@ -228,7 +231,8 @@ class WaveNetInfer:
             self._gen_cache[key] = jax.jit(persistent.make_persistent_generator(
                 self.cfg, batch, chunk, mode=mode, dump=dump,
                 weight_dtype=self.weight_dtype, compute_dtype=self.compute_dtype,
-                interpret=self.interpret, fast_math=self.fast_math))
+                interpret=self.interpret, fast_math=self.fast_math,
+                prefold_cond=True))
         return self._gen_cache[key]
 
     # ------------------------------------------------------------------
@@ -251,21 +255,26 @@ class WaveNetInfer:
         assert self._cond is not None, "set_inputs must be called first"
         cfg = self.cfg
         B = batch_size
-        cond = self._cond[init_sample:init_sample + num_samples, :, :B]
         sel = self._selectors[init_sample:init_sample + num_samples, :B]
-        T = cond.shape[0]
+        T = sel.shape[0]
         assert T == num_samples, "set_inputs cond is shorter than requested run"
 
         impl = self._resolve_impl(B)
         params = self._device_params()
         if init_sample == 0:
             self._reset_state(B)
+        if self._cond_pre is None:
+            # fold the dilated-conv bias into the conditioning stream once
+            # (removes one VPU add per layer per sample in the kernel;
+            # float-exact: elementwise add is exactly rounded)
+            self._cond_pre = self._cond + params["dil_b"][None, :, None, :]
 
         if mode == "prng" and impl == Impl.MANYBLOCK:
             raise NotImplementedError(
                 "in-kernel PRNG sampling requires the PERSISTENT "
                 "implementation; use injected selectors with MANYBLOCK")
         if impl == Impl.MANYBLOCK:
+            cond = self._cond[init_sample:init_sample + num_samples, :, :B]
             st, y, aux = scan_generate.generate(
                 params, self._scan_state, cond, sel,
                 cfg, mode=mode, dump=dump_activations,
@@ -277,6 +286,7 @@ class WaveNetInfer:
 
         # persistent kernel: pad T to a chunk multiple; padded tail steps are
         # masked in-kernel so carried state stays exact at ragged boundaries
+        cond = self._cond_pre[init_sample:init_sample + num_samples, :, :B]
         chunk = self._effective_chunk(B)
         pad = (-T) % chunk
         if pad:

@@ -51,7 +51,7 @@ def _dot(a, b, precision):
 
 
 def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
-                 dump: bool, compute_dtype, precision, unroll,
+                 dump: bool, compute_dtype, precision, unroll, prefold_cond,
                  # refs (order fixed by the pallas_call below):
                  t0_ref,                                   # scalar prefetch
                  embed, dil_w, dil_b, rs_w, rs_b, out_w, out_b, end_w, end_b,
@@ -94,6 +94,8 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
     def _do_sample_step(j, t):
         y_prev = y_state_out[0, :]
         y_cur = y_state_out[1, :]
+        # one dynamic time-slice per step; per-layer access is then static
+        cond_t = cond[j]                                   # [L, B, 2R]
 
         # --- embedding: one-hot x fused [2A, R] table (one GEMM) ---
         ids = jax.lax.broadcasted_iota(jnp.int32, (B, A), 1)
@@ -112,8 +114,14 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
             ring_out[pl.ds(slot, 1)] = x.astype(ring_out.dtype)[None]
             xcat = jnp.concatenate([x_prev.astype(compute_dtype), x], axis=-1)
             z = _dot(xcat, dil_w[l].astype(compute_dtype), precision)
-            z = z + (dil_b[l].astype(jnp.float32)
-                     + cond[j, l].astype(jnp.float32))
+            if prefold_cond:
+                # engine pre-added dil_b into the conditioning stream
+                # (identical float values: elementwise add is exactly
+                # rounded, so the exact-match contract is preserved)
+                z = z + cond_t[l].astype(jnp.float32)
+            else:
+                z = z + (dil_b[l].astype(jnp.float32)
+                         + cond_t[l].astype(jnp.float32))
             h = jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
             rs = _dot(h.astype(compute_dtype), rs_w[l].astype(compute_dtype),
                       precision)
@@ -200,7 +208,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                               compute_dtype=jnp.float32,
                               interpret: bool = False,
                               unroll: int = 1,
-                              fast_math: bool = False):
+                              fast_math: bool = False,
+                              prefold_cond: bool = False):
     # NOTE: Pallas TPU fori_loop supports only unroll=1 or full unroll
     # (=chunk); full unroll multiplies compile time by the chunk length.
     #
@@ -225,7 +234,7 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                  else jax.lax.Precision.DEFAULT)
 
     kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode, dump,
-                               compute_dtype, precision, unroll)
+                               compute_dtype, precision, unroll, prefold_cond)
 
     in_specs = [
         # [t0, n_valid, seed]: absolute first-sample index, number of real

@@ -13,7 +13,8 @@ from nv_wavenet_tpu.ops import persistent
 
 
 def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
-            cdt=jnp.float32, label="", unroll=1, fast_math=False):
+            cdt=jnp.float32, label="", unroll=1, fast_math=False,
+            prefold=False):
     ref_w = params_lib.random_reference_weights(cfg, seed=1)
     params = {k: jnp.asarray(v) for k, v in
               params_lib.to_canonical(ref_w, cfg).items()}
@@ -26,7 +27,10 @@ def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
     ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
     gen = jax.jit(persistent.make_persistent_generator(
         cfg, batch, chunk, mode=mode, weight_dtype=wdt, compute_dtype=cdt,
-        unroll=unroll, fast_math=fast_math))
+        unroll=unroll, fast_math=fast_math, prefold_cond=prefold))
+    if prefold:
+        dil_b = params["dil_b"]
+        cond = cond + dil_b[None, :, None, :]
     y0 = np.asarray(gen(params, np.array([0]), cond, sel, ring, ys)[0])
     best = 1e9
     for _ in range(3):
@@ -43,10 +47,9 @@ def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
 
 FL = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512)
 T = 4096
-measure(FL, 16, 256, T, label="flagship fast_math", fast_math=True)
-measure(WaveNetConfig(num_layers=40, R=64, S=256, A=256, max_dilation=512),
-        16, 64, T, label="L=40")
-measure(FL, 1, 256, T, label="flagship B=1")
+measure(FL, 16, 256, T, label="flagship prefold", prefold=True)
+measure(FL, 16, 256, T, label="flagship prefold+fastmath", prefold=True,
+        fast_math=True)
 MD128 = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=128)
-measure(MD128, 128, 32, T, label="maxD128 B=128")
-measure(MD128, 256, 8, 2048, label="maxD128 B=256")
+measure(MD128, 128, 16, T, label="maxD128 B=128", prefold=True)
+measure(MD128, 256, 8, 2048, label="maxD128 B=256", prefold=True)
