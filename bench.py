@@ -8,6 +8,15 @@ elapsed_ms per utterance (`nv_wavenet_perf.cu:87,279-280`).  Baseline is the
 24 kHz/chip real-time+margin target from BASELINE.json (the reference repo
 publishes no numbers).
 
+Tunnel-proof measurement (the axon TPU is reached over a tunnel whose
+bandwidth varies wildly between sessions — measured 30 MB/s down one day,
+0.3 MB/s another): inputs are generated ON DEVICE, and the timed region
+dispatches three back-to-back generation runs then force-fetches only the
+final time-slice of each (a few hundred bytes), so one ~40 ms RTT is
+amortized over 3*T samples instead of shipping megabytes through the timed
+path.  On a host-attached TPU the same code simply measures steady-state
+throughput, like the reference's event-timed `run_chunks` loop.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
@@ -23,6 +32,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    except Exception:
+        pass
+
     from nv_wavenet_tpu.config import WaveNetConfig
     from nv_wavenet_tpu.models import params as params_lib
     from nv_wavenet_tpu.ops import persistent
@@ -33,35 +47,36 @@ def main():
     ref_w = params_lib.random_reference_weights(cfg, seed=1)
     params = {k: jnp.asarray(v) for k, v in
               params_lib.to_canonical(ref_w, cfg).items()}
-    rng = np.random.RandomState(0)
-    cond = jnp.asarray(rng.uniform(
-        -0.5, 0.5, (T, cfg.num_layers, batch, 2 * cfg.R)).astype(np.float32))
-    sel = jnp.asarray(rng.uniform(0, 1, (T, batch)).astype(np.float32))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    cond = jax.random.uniform(k1, (T, cfg.num_layers, batch, 2 * cfg.R),
+                              jnp.float32, -0.5, 0.5)
+    sel = jax.random.uniform(k2, (T, batch), jnp.float32)
     ring = jnp.zeros((cfg.ring_size, batch, cfg.R), jnp.float32)
     ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
 
     gen = jax.jit(persistent.make_persistent_generator(cfg, batch, chunk))
 
-    # warmup (compile)
-    np.asarray(gen(params, np.array([0]), cond, sel, ring, ys)[0])
+    # warmup (compile) — force with a tiny tail fetch
+    tail = np.asarray(gen(params, np.array([0]), cond, sel, ring, ys)[0][-1])
+    assert tail.shape == (batch,) and tail.min() >= 0 and tail.max() < cfg.A
 
-    # measure: forced device->host fetch inside the timed region
-    # (block_until_ready does not reliably wait over the axon tunnel)
-    best = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        out = gen(params, np.array([0]), cond, sel, ring, ys)
-        y = np.asarray(out[0])
-        dt = time.time() - t0
-        best = max(best, T / dt / 1e3)
-    assert y.shape == (T, batch) and y.min() >= 0 and y.max() < cfg.A
+    # measure: three back-to-back dispatches, one forced fetch of each run's
+    # final time-slice (tiny transfer; depends on the whole computation)
+    iters = 3
+    t0 = time.time()
+    tails = [gen(params, np.array([0]), cond, sel, ring, ys)[0][-1]
+             for _ in range(iters)]
+    for tl in tails:
+        np.asarray(tl)
+    dt = time.time() - t0
+    khz = iters * T / dt / 1e3
 
     baseline_khz = 24.0
     print(json.dumps({
         "metric": "samples_per_sec_per_utterance_64R_256S_256A_20L_b16",
-        "value": round(best, 2),
+        "value": round(khz, 2),
         "unit": "kHz",
-        "vs_baseline": round(best / baseline_khz, 3),
+        "vs_baseline": round(khz / baseline_khz, 3),
     }))
 
 

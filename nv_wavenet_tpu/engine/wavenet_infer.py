@@ -269,16 +269,12 @@ class WaveNetInfer:
             # float-exact: elementwise add is exactly rounded)
             self._cond_pre = self._cond + params["dil_b"][None, :, None, :]
 
-        if mode == "prng" and impl == Impl.MANYBLOCK:
-            raise NotImplementedError(
-                "in-kernel PRNG sampling requires the PERSISTENT "
-                "implementation; use injected selectors with MANYBLOCK")
         if impl == Impl.MANYBLOCK:
             cond = self._cond[init_sample:init_sample + num_samples, :, :B]
             st, y, aux = scan_generate.generate(
                 params, self._scan_state, cond, sel,
                 cfg, mode=mode, dump=dump_activations,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype, seed=self.sampling_seed)
             self._scan_state = st
             if dump_activations:
                 self._dumps = jax.tree.map(np.asarray, aux)
@@ -301,6 +297,14 @@ class WaveNetInfer:
             xt, skip, zs, za, p = [np.asarray(o) for o in out[3:]]
             self._dumps = {"xt": xt, "skip": skip, "zs": zs, "za": za, "p": p}
         return y[:T]
+
+    def run_device(self, num_samples: int, batch_size: int,
+                   mode: str = "sample"):
+        """Like `run` but returns the DEVICE array [T, B] without fetching —
+        for callers that keep post-processing on device (e.g. mu-law decode,
+        vocoder chaining) or amortize host readout themselves.  Forcing a
+        host fetch of multi-MB outputs is expensive over a tunneled TPU."""
+        return self._run_partial_device(0, num_samples, batch_size, mode, False)
 
     def run_partial(self, init_sample: int, num_samples: int, batch_size: int,
                     mode: str = "sample", dump_activations: bool = False

@@ -52,6 +52,7 @@ def _dot(a, b, precision):
 
 def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                  dump: bool, compute_dtype, precision, unroll, prefold_cond,
+                 rs_split,
                  # refs (order fixed by the pallas_call below):
                  t0_ref,                                   # scalar prefetch
                  embed, dil_w, dil_b, rs_w, rs_b, out_w, out_b, end_w, end_b,
@@ -123,11 +124,26 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                 z = z + (dil_b[l].astype(jnp.float32)
                          + cond_t[l].astype(jnp.float32))
             h = jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
-            rs = _dot(h.astype(compute_dtype), rs_w[l].astype(compute_dtype),
-                      precision)
-            x = ((rs[:, :R] + rs_b[l, :R].astype(jnp.float32))
-                 + x.astype(jnp.float32)).astype(compute_dtype)
-            skip = (skip + rs[:, R:]) + rs_b[l, R:].astype(jnp.float32)
+            if rs_split:
+                # N-split of the fused residual+skip matmul: per-output-column
+                # dot products are unchanged (exactness-preserving), but the
+                # next layer's critical path now waits only on the R residual
+                # columns; the S skip columns execute in the MXU shadow of the
+                # dependent chain (the TPU analog of the reference's
+                # skip-off-critical-path warp specialization,
+                # `nv_wavenet_singleblock.cuh:116-131`)
+                hd = h.astype(compute_dtype)
+                res = _dot(hd, rs_w[l, :, :R].astype(compute_dtype), precision)
+                x = ((res + rs_b[l, :R].astype(jnp.float32))
+                     + x.astype(jnp.float32)).astype(compute_dtype)
+                sk = _dot(hd, rs_w[l, :, R:].astype(compute_dtype), precision)
+                skip = (skip + sk) + rs_b[l, R:].astype(jnp.float32)
+            else:
+                rs = _dot(h.astype(compute_dtype),
+                          rs_w[l].astype(compute_dtype), precision)
+                x = ((rs[:, :R] + rs_b[l, :R].astype(jnp.float32))
+                     + x.astype(jnp.float32)).astype(compute_dtype)
+                skip = (skip + rs[:, R:]) + rs_b[l, R:].astype(jnp.float32)
             if dump:
                 dump_refs[0][l] = x.astype(jnp.float32)       # xt [L, B, R]
                 dump_refs[1][l] = skip                        # skip [L, B, S]
@@ -190,16 +206,24 @@ class PersistentPlan(NamedTuple):
 def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
                         weight_bytes: int = 4, act_bytes: int = 4) -> int:
     """VMEM budget estimate — the planning analog of the reference's
-    occupancy assert (`nv_wavenet_util.cuh:42-58`)."""
+    occupancy assert (`nv_wavenet_util.cuh:42-58`).
+
+    Aliased carried-state buffers (ring, y_state) are counted TWICE: Mosaic
+    allocates separate input and output VMEM windows for input/output-aliased
+    operands (aliasing only avoids the HBM copy), confirmed by compiler OOM
+    reports showing both windows at full size.
+    """
     w = cfg.weight_bytes(weight_bytes)
-    ring = cfg.ring_bytes(batch, act_bytes)
+    ring = 2 * cfg.ring_bytes(batch, act_bytes)   # input + output windows
     # cond/sel/y blocks are double-buffered by the pipeline
     cond = 2 * chunk * cfg.num_layers * batch * 2 * cfg.R * act_bytes
     sel = 2 * chunk * batch * 4
     y = 2 * chunk * batch * 4
+    y_state = 2 * 2 * batch * 4                   # input + output windows
     work = batch * (8 * cfg.R + 4 * cfg.S + 8 * cfg.A) * 4  # rough live set
+    spill = 4 * 1024 * 1024                       # register-allocator slots
     tri = cfg.A * cfg.A * 4
-    return w + ring + cond + sel + y + work + tri
+    return w + ring + cond + sel + y + y_state + work + spill + tri
 
 
 def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
@@ -209,7 +233,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                               interpret: bool = False,
                               unroll: int = 1,
                               fast_math: bool = False,
-                              prefold_cond: bool = False):
+                              prefold_cond: bool = False,
+                              rs_split: bool = False):
     # NOTE: Pallas TPU fori_loop supports only unroll=1 or full unroll
     # (=chunk); full unroll multiplies compile time by the chunk length.
     #
@@ -234,7 +259,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                  else jax.lax.Precision.DEFAULT)
 
     kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode, dump,
-                               compute_dtype, precision, unroll, prefold_cond)
+                               compute_dtype, precision, unroll, prefold_cond,
+                               rs_split)
 
     in_specs = [
         # [t0, n_valid, seed]: absolute first-sample index, number of real

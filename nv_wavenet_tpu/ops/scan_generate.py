@@ -86,7 +86,8 @@ def select_from_probs(p: jax.Array, sel: jax.Array, fallback: int) -> jax.Array:
 
 def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
                  sel_t: jax.Array, cfg: WaveNetConfig, mode: str = "sample",
-                 compute_dtype=jnp.float32, forced_y_t: jax.Array | None = None):
+                 compute_dtype=jnp.float32, forced_y_t: jax.Array | None = None,
+                 seed: jax.Array | int = 0):
     """One autoregressive sample for all utterances in the batch.
 
     cond_t: [L, B, 2R] conditioning for this step (bias NOT pre-folded; this
@@ -140,6 +141,15 @@ def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
         y = forced_y_t.astype(jnp.int32)
     elif mode == "argmax":
         y = jnp.argmax(za, axis=-1).astype(jnp.int32)
+    elif mode == "prng":
+        # device-side sampling randomness (the cuRAND analog): key on the
+        # absolute sample index so draws are independent of chunking, as in
+        # the persistent kernel's per-step reseed (ops/persistent.py).  Draws
+        # are implementation-specific (threefry here, TPU hardware PRNG in the
+        # kernel) — the reference's host rand() is likewise unspecified.
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), state.t)
+        u = jax.random.uniform(key, sel_t.shape, jnp.float32)
+        y = select_from_probs(p, u, cfg.silence_bin)
     else:
         y = select_from_probs(p, sel_t, cfg.silence_bin)
     new_state = GenState(ring=ring, y_prev=state.y_cur, y_cur=y, t=state.t + 1)
@@ -155,7 +165,8 @@ def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
                                              "compute_dtype", "return_za"))
 def generate(params: Dict, state: GenState, cond: jax.Array, selectors: jax.Array,
              cfg: WaveNetConfig, mode: str = "sample", dump: bool = False,
-             compute_dtype=jnp.float32, forced_y=None, return_za: bool = False):
+             compute_dtype=jnp.float32, forced_y=None, return_za: bool = False,
+             seed: jax.Array | int = 0):
     """Run the full sequential loop under one jit: scan over T samples.
 
     cond: [T, L, B, 2R]; selectors: [T, B]; forced_y: optional [T, B] int
@@ -164,10 +175,13 @@ def generate(params: Dict, state: GenState, cond: jax.Array, selectors: jax.Arra
     activation dict when dump=True, the per-step logits [T, B, A] when
     return_za=True, else None.
     """
+    seed = jnp.asarray(seed, jnp.int32)
+
     def body(st, inp):
         cond_t, sel_t, forced_t = inp
         new_st, y, aux = wavenet_step(params, st, cond_t, sel_t, cfg, mode,
-                                      compute_dtype, forced_y_t=forced_t)
+                                      compute_dtype, forced_y_t=forced_t,
+                                      seed=seed)
         if dump:
             return new_st, (y, aux)
         if return_za:
@@ -180,7 +194,7 @@ def generate(params: Dict, state: GenState, cond: jax.Array, selectors: jax.Arra
         def body_nf(st, inp):
             cond_t, sel_t = inp
             new_st, y, aux = wavenet_step(params, st, cond_t, sel_t, cfg, mode,
-                                          compute_dtype)
+                                          compute_dtype, seed=seed)
             if dump:
                 return new_st, (y, aux)
             if return_za:

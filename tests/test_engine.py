@@ -128,3 +128,25 @@ def test_engine_generated_selectors_reproducible():
     eng.set_inputs(cond, selectors=None, seed=123)
     y2 = eng.run(6, 1)
     assert np.array_equal(y1, y2)
+
+
+def test_manyblock_prng_mode_chunk_invariant():
+    """Device-side PRNG sampling on the scan path: draws are keyed on the
+    absolute sample index, so chunked runs reproduce one full run and reruns
+    with the same seed are identical (the persistent kernel has the same
+    property via its per-step reseed)."""
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    ref_w, cond, _ = make_case(cfg, 2, 8, seed=37)
+    eng = make_engine(cfg, 2, Impl.MANYBLOCK)
+    eng.set_reference_weights(ref_w)
+    eng.sampling_seed = 7
+    eng.set_inputs(cond, selectors=None)
+    y_full = eng.run(8, 2, mode="prng")
+    eng.set_inputs(cond, selectors=None)
+    y_a = eng.run_partial(0, 5, 2, mode="prng")
+    y_b = eng.run_partial(5, 3, 2, mode="prng")
+    assert np.array_equal(y_full, np.concatenate([y_a, y_b], axis=1))
+    eng.sampling_seed = 8
+    eng.set_inputs(cond, selectors=None)
+    y_other = eng.run(8, 2, mode="prng")
+    assert not np.array_equal(y_full, y_other)

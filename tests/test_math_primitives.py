@@ -1,0 +1,133 @@
+"""Math-primitive tests — the analog of the reference's `math_test.cu`
+(`/root/reference/math_test.cu`): the GEMM primitive is checked bit-exactly
+on integer-valued inputs (`math_test.cu:126-138,283-293`), and the fused
+softmax+select is checked against an independent CPU cumsum scan including
+the scan-failure fallback (`math_test.cu:354-401`, `softmax.cuh:150-189`).
+
+Here the "primitives" are the framework's canonical formulations shared by
+the scan generator and the Pallas kernel: HIGHEST-precision MXU dot, one-hot
+embedding GEMM, stable softmax, inverse-CDF selection (count of cumsum <=
+sel) with fallback to the silence bin, and the kernel's cumsum-via-
+triangular-matmul trick.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nv_wavenet_tpu.models.golden import _softmax, select_sample
+from nv_wavenet_tpu.ops.scan_generate import embed_lookup, select_from_probs
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def test_gemm_bit_exact_on_integer_inputs():
+    """Integer-valued fp32 matmul must be bit-exact vs. the naive float64
+    accumulation (every product and partial sum is exactly representable) —
+    the reference's exact-== GEMM check (`math_test.cu:126-138`)."""
+    rng = np.random.RandomState(0)
+    a = rng.randint(-8, 8, size=(16, 96)).astype(np.float32)
+    b = rng.randint(-8, 8, size=(96, 48)).astype(np.float32)
+    got = np.asarray(jnp.dot(a, b, precision=HI,
+                             preferred_element_type=jnp.float32))
+    want = (a.astype(np.float64) @ b.astype(np.float64)).astype(np.float32)
+    assert (got == want).all()
+
+
+def test_gemm_float_inputs_match_numpy_fp32_tolerance():
+    rng = np.random.RandomState(1)
+    a = rng.uniform(-1, 1, (8, 128)).astype(np.float32)
+    b = rng.uniform(-1, 1, (128, 64)).astype(np.float32)
+    got = np.asarray(jnp.dot(a, b, precision=HI,
+                             preferred_element_type=jnp.float32))
+    np.testing.assert_allclose(got, a @ b, rtol=1e-6, atol=1e-6)
+
+
+def test_onehot_embedding_equals_gather_add_exactly():
+    """The one-hot GEMM formulation sums exactly two nonzero products, so it
+    must equal the golden model's gather+add bit-for-bit (zeros are exact)."""
+    rng = np.random.RandomState(2)
+    A, R, B = 64, 32, 8
+    table = rng.uniform(-1, 1, (2 * A, R)).astype(np.float32)
+    y_prev = rng.randint(0, A, B)
+    y_cur = rng.randint(0, A, B)
+    got = np.asarray(embed_lookup(jnp.asarray(table), jnp.asarray(y_prev),
+                                  jnp.asarray(y_cur), A, tanh_embed=False,
+                                  precision=HI))
+    want = table[y_prev] + table[A + y_cur]
+    assert (got == want).all()
+
+
+def test_softmax_matches_reference_formulation():
+    rng = np.random.RandomState(3)
+    za = rng.uniform(-5, 5, (4, 256)).astype(np.float32)
+    p = _softmax(za)
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-6)
+    # max-subtracted stability: huge logits don't overflow exp
+    big = (za + np.float32(3e38 / 2)).astype(np.float32)
+    p2 = _softmax(big)
+    assert np.isfinite(p2).all()
+    want = _softmax(big.astype(np.float64)).astype(np.float32)
+    np.testing.assert_allclose(p2, want, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("formulation", [select_sample,
+                                         lambda p, s, f: np.asarray(
+                                             select_from_probs(
+                                                 jnp.asarray(p),
+                                                 jnp.asarray(s), f))])
+def test_select_basic_and_edges(formulation):
+    A, fallback = 16, 8
+    p = np.full((1, A), 1.0 / A, np.float32)
+    # sel in the middle of bin k selects k
+    for k in range(A):
+        sel = np.array([(k + 0.5) / A], np.float32)
+        assert formulation(p, sel, fallback)[0] == k
+    # sel = 0 selects bin 0 (first bin with positive mass)
+    assert formulation(p, np.zeros(1, np.float32), fallback)[0] == 0
+    # mass concentrated in the last bin
+    q = np.zeros((1, A), np.float32)
+    q[0, -1] = 1.0
+    assert formulation(q, np.array([0.3], np.float32), fallback)[0] == A - 1
+
+
+@pytest.mark.parametrize("formulation", [select_sample,
+                                         lambda p, s, f: np.asarray(
+                                             select_from_probs(
+                                                 jnp.asarray(p),
+                                                 jnp.asarray(s), f))])
+def test_select_scan_failure_falls_back_to_silence(formulation):
+    """When sel >= total mass (possible when fp32 cumsum tops out below the
+    selector) every cumsum entry is <= sel and the scan 'fails'; the
+    reference emits bin 128 = silence (`softmax.cuh:155`)."""
+    A, fallback = 16, 8
+    p = np.full((1, A), (1.0 - 1e-3) / A, np.float32)  # total mass < 1
+    sel = np.array([0.99999], np.float32)
+    assert formulation(p, sel, fallback)[0] == fallback
+
+
+def test_cumsum_via_triangular_matmul_matches_sequential():
+    """The Pallas kernel computes cumsum as p @ upper-triangular-ones on the
+    MXU; selection indices must agree with the golden model's sequential
+    np.cumsum (exact-match contract)."""
+    rng = np.random.RandomState(4)
+    B, A = 16, 256
+    za = rng.uniform(-4, 4, (B, A)).astype(np.float32)
+    p = _softmax(za)
+    tri = (np.arange(A)[:, None] <= np.arange(A)[None, :]).astype(np.float32)
+    cum_mxu = np.asarray(jnp.dot(jnp.asarray(p), jnp.asarray(tri),
+                                 precision=HI,
+                                 preferred_element_type=jnp.float32))
+    cum_seq = np.cumsum(p, axis=-1)
+    np.testing.assert_allclose(cum_mxu, cum_seq, rtol=1e-6, atol=1e-7)
+    sel = rng.uniform(0, 1, B).astype(np.float32)
+    idx_mxu = np.sum(cum_mxu <= sel[:, None], axis=-1)
+    idx_seq = np.sum(cum_seq <= sel[:, None], axis=-1)
+    assert (idx_mxu == idx_seq).all()
+
+
+def test_gated_activation_range():
+    rng = np.random.RandomState(5)
+    z = rng.uniform(-10, 10, (8, 128)).astype(np.float32)
+    h = np.tanh(z[:, :64]) * (1.0 / (1.0 + np.exp(-z[:, 64:])))
+    assert (np.abs(h) <= 1.0).all()

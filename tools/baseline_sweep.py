@@ -57,13 +57,15 @@ def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
         exact = bool(np.array_equal(y_gold, y_eng))
         eng.set_inputs(cond, sel)
 
-    eng.run(T, batch, mode=mode)  # warmup/compile
-    best = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        y = eng.run(T, batch, mode=mode)  # init_sample=0 resets state
-        dt = time.time() - t0
-        best = max(best, T / dt / 1e3)
+    # warmup/compile; timed region uses back-to-back device runs with a tiny
+    # tail fetch per run (tunnel-proof pattern, see bench.py docstring)
+    np.asarray(eng.run_device(T, batch, mode=mode)[-1])
+    iters = 3
+    t0 = time.time()
+    tails = [eng.run_device(T, batch, mode=mode)[-1] for _ in range(iters)]
+    for tl in tails:
+        np.asarray(tl)
+    best = iters * T / (time.time() - t0) / 1e3
     rec = {"config": name, "impl": eng._resolve_impl(batch).name,
            "khz_per_utt": round(best, 2), "khz_total": round(best * batch, 1),
            "batch": batch, "samples": T,

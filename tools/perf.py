@@ -76,24 +76,28 @@ def main():
     ref_w = params_lib.random_reference_weights(eng.cfg, seed=1)
     eng.set_reference_weights(ref_w)
 
-    rng = np.random.RandomState(0)
+    # inputs generated ON DEVICE (set_inputs takes them as-is): over a
+    # tunneled TPU a host-side flagship cond tensor is GBs of upload
+    import jax
     T = args.samples
-    cond = rng.uniform(-0.5, 0.5, (T, args.layers, args.batch,
-                                   2 * args.r_chans)).astype(np.float32)
-    sel = rng.uniform(0, 1, (T, args.batch)).astype(np.float32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    cond = jax.random.uniform(k1, (T, args.layers, args.batch,
+                                   2 * args.r_chans), jnp.float32, -0.5, 0.5)
+    sel = jax.random.uniform(k2, (T, args.batch), jnp.float32)
     eng.set_inputs(cond, sel)
 
-    # warmup/compile
-    eng.run(T, args.batch, mode=args.sampling)
+    # warmup/compile (tail fetch forces execution; a full host fetch of y is
+    # deliberately avoided — tunnel bandwidth varies wildly, see bench.py)
+    tail = np.asarray(eng.run_device(T, args.batch, mode=args.sampling)[-1])
+    assert tail.shape == (args.batch,)
 
-    best = 0.0
-    for _ in range(args.iters):
-        t0 = time.time()
-        # init_sample=0 resets generation state; inputs stay device-resident
-        y = eng.run(T, args.batch, mode=args.sampling)  # returns host numpy
-        dt = time.time() - t0
-        best = max(best, T / dt / 1e3)
-    assert y.shape == (args.batch, T)
+    # timed: back-to-back device runs, one tiny forced fetch per run
+    t0 = time.time()
+    tails = [eng.run_device(T, args.batch, mode=args.sampling)[-1]
+             for _ in range(args.iters)]
+    for tl in tails:
+        np.asarray(tl)
+    best = args.iters * T / (time.time() - t0) / 1e3
 
     print(f"Sample rate: {best:.2f} kHz", flush=True)
     print(json.dumps({"khz_per_utterance": round(best, 2),

@@ -1,0 +1,54 @@
+"""Probe: per-step cost of the flagship config under candidate kernel
+restructurings on the real TPU (tunnel-proof measurement: on-device inputs,
+pipelined dispatches, tail-slice fetch — see bench.py docstring).
+
+Variants are exactness-preserving N-splits of existing matmuls, verified
+bit-exact in the CPU test suite; this tool measures whether they pay off.
+"""
+import sys, time
+sys.path.insert(0, ".")
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.models import params as params_lib
+from nv_wavenet_tpu.ops import persistent
+
+
+def measure(cfg, batch, chunk, T, label, iters=3, fetch_all=False, **kw):
+    ref_w = params_lib.random_reference_weights(cfg, seed=1)
+    params = {k: jnp.asarray(v) for k, v in
+              params_lib.to_canonical(ref_w, cfg).items()}
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    cond = jax.random.uniform(k1, (T, cfg.num_layers, batch, 2 * cfg.R),
+                              jnp.float32, -0.5, 0.5)
+    sel = jax.random.uniform(k2, (T, batch), jnp.float32)
+    ring = jnp.zeros((cfg.ring_size, batch, cfg.R), jnp.float32)
+    ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
+    t0 = time.time()
+    gen = jax.jit(persistent.make_persistent_generator(cfg, batch, chunk, **kw))
+    y_dev = gen(params, np.array([0]), cond, sel, ring, ys)[0]
+    np.asarray(y_dev[-1])
+    compile_s = time.time() - t0
+    t0 = time.time()
+    tails = [gen(params, np.array([0]), cond, sel, ring, ys)[0][-1]
+             for _ in range(iters)]
+    for tl in tails:
+        np.asarray(tl)
+    dt = (time.time() - t0) / iters
+    us = dt / T * 1e6
+    print(f"{label:44s}: {us:6.2f} us/step  {T/dt/1e3:8.1f} kHz/utt  "
+          f"(compile {compile_s:.0f}s)", flush=True)
+    return np.asarray(y_dev) if fetch_all else None
+
+
+if __name__ == "__main__":
+    FL = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512)
+    T = 4096
+    measure(FL, 16, 256, T, "baseline")
+    measure(FL, 16, 256, T, "rs_split", rs_split=True)
+    measure(FL, 16, 256, T, "rs_split+prefold", rs_split=True,
+            prefold_cond=True)
