@@ -51,7 +51,7 @@ def main():
     cond = jax.random.uniform(k1, (T, cfg.num_layers, batch, 2 * cfg.R),
                               jnp.float32, -0.5, 0.5)
     sel = jax.random.uniform(k2, (T, batch), jnp.float32)
-    ring = jnp.zeros((cfg.ring_size, batch, cfg.R), jnp.float32)
+    ring = persistent.init_ring(cfg, batch)
     ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
 
     gen = jax.jit(persistent.make_persistent_generator(cfg, batch, chunk))

@@ -82,6 +82,34 @@ class WaveNetConfig:
     def ring_size(self) -> int:
         return sum(self.dilations)
 
+    def packed_ring_plan(self, lane_width: int = 128):
+        """Lane-packed ring layout for the persistent kernel.
+
+        A [slots, B, R] ring wastes lanes when R < 128 (the minor dim pads to
+        128).  Layers with EQUAL dilation (the cycling schedule repeats every
+        cycle, `nv_wavenet_reference.cpp:288-289`) index the same FIFO slot at
+        every t, so up to 128//R of them can share one 128-lane row, each in
+        its own R-lane column block.  Returns (rows, pack, row_offs, lane_slots):
+        rows = total packed rows, pack = layers per row (1 if R >= lane_width,
+        then the layout degenerates to the unpacked one), row_offs[l] /
+        lane_slots[l] = layer l's FIFO base row and column block index.
+        """
+        pack = max(1, lane_width // self.R)
+        by_d: dict = {}
+        for l, d in enumerate(self.dilations):
+            by_d.setdefault(d, []).append(l)
+        row_offs = [0] * self.num_layers
+        lane_slots = [0] * self.num_layers
+        rows = 0
+        for d in sorted(by_d):
+            group = by_d[d]
+            for i in range(0, len(group), pack):
+                for q, l in enumerate(group[i:i + pack]):
+                    row_offs[l] = rows
+                    lane_slots[l] = q
+                rows += d
+        return rows, pack, tuple(row_offs), tuple(lane_slots)
+
     @property
     def receptive_field(self) -> int:
         return sum(self.dilations) + 1

@@ -189,7 +189,7 @@ class WaveNetInfer:
         cfg = self.cfg
         ring_dtype = (jnp.float32 if self.compute_dtype == jnp.float32
                       else self.compute_dtype)
-        self._ring = jnp.zeros((cfg.ring_size, batch, cfg.R), ring_dtype)
+        self._ring = persistent.init_ring(cfg, batch, ring_dtype)
         self._y_state = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
         self._scan_state = scan_generate.init_state(cfg, batch, ring_dtype)
 
@@ -200,13 +200,17 @@ class WaveNetInfer:
     def _effective_chunk(self, batch) -> int:
         """Largest chunk <= chunk_size whose double-buffered conditioning
         stream + weights + ring fit the VMEM budget (the planning analog of
-        the reference's occupancy tuning, `README.md:66`)."""
+        the reference's occupancy tuning, `README.md:66`).
+
+        Clamped to a multiple of 8: the sel/y blocks are [chunk, B] and the
+        TPU lowering requires the second-minor block dim to be a sublane
+        multiple (interpret-mode tests don't enforce this; hardware does)."""
         wb = 2 if self.weight_dtype == jnp.bfloat16 else 4
-        chunk = self.chunk_size
+        chunk = max(8, self.chunk_size - self.chunk_size % 8)
         while chunk > 8 and persistent.estimate_vmem_bytes(
                 self.cfg, batch, chunk, wb) > self.vmem_budget:
             chunk //= 2
-        return chunk
+        return max(8, chunk - chunk % 8)
 
     def _resolve_impl(self, batch) -> Impl:
         impl = self.implementation

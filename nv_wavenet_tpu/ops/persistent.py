@@ -57,17 +57,25 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                  t0_ref,                                   # scalar prefetch
                  embed, dil_w, dil_b, rs_w, rs_b, out_w, out_b, end_w, end_b,
                  cond, sel, ring_in, y_in,
-                 y_out, ring_out, y_state_out, *dump_refs):
+                 y_out, ring_out, y_state_out, *rest):
     L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
     B = batch
-    dils, offs = cfg.dilations, cfg.ring_offsets
+    dils = cfg.dilations
+    _, _, p_offs, lane_slots = cfg.packed_ring_plan()
+    dump_refs, ring, dma_sem = rest[:-2], rest[-2], rest[-1]
 
     i = pl.program_id(0)
 
-    # First grid step: move carried state into the aliased output buffers.
+    # The ring (carried dilation-FIFO state) lives in HBM between calls and
+    # in ONE VMEM scratch during the call: DMA in at the first grid step, out
+    # at the last.  Keeping it as an aliased VMEM-windowed operand instead
+    # would allocate TWO full-size VMEM windows (input + output) — the
+    # compiler does not merge aliased windows.
     @pl.when(i == 0)
     def _():
-        ring_out[...] = ring_in[...]
+        cp = pltpu.make_async_copy(ring_in, ring, dma_sem)
+        cp.start()
+        cp.wait()
         y_state_out[...] = y_in[...]
 
 
@@ -110,9 +118,12 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
 
         skip = jnp.zeros((B, S), jnp.float32)
         for l in range(L):
-            slot = offs[l] + jax.lax.bitwise_and(t, dils[l] - 1)
-            x_prev = ring_out[pl.ds(slot, 1)][0]           # [B, R] = x^l_{t-d}
-            ring_out[pl.ds(slot, 1)] = x.astype(ring_out.dtype)[None]
+            # lane-packed FIFO row: layers with equal dilation share a
+            # 128-lane row, each in its own static R-lane column block
+            slot = p_offs[l] + jax.lax.bitwise_and(t, dils[l] - 1)
+            q = lane_slots[l] * R
+            x_prev = ring[pl.ds(slot, 1)][0, :, q:q + R]   # [B, R] = x^l_{t-d}
+            ring[pl.ds(slot, 1), :, q:q + R] = x.astype(ring.dtype)[None]
             xcat = jnp.concatenate([x_prev.astype(compute_dtype), x], axis=-1)
             z = _dot(xcat, dil_w[l].astype(compute_dtype), precision)
             if prefold_cond:
@@ -192,6 +203,24 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
 
     jax.lax.fori_loop(0, chunk, sample_step, 0, unroll=unroll)
 
+    # Last grid step: persist the ring back to HBM so state survives chunked
+    # run_partial calls (the reference keeps it in device global memory,
+    # `nv_wavenet.cuh:335`).
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        cp = pltpu.make_async_copy(ring, ring_out, dma_sem)
+        cp.start()
+        cp.wait()
+
+
+def init_ring(cfg: WaveNetConfig, batch: int, dtype=jnp.float32) -> jax.Array:
+    """Zero-initialized lane-packed ring state for the persistent generator:
+    [rows, batch, pack*R] (see WaveNetConfig.packed_ring_plan).  Zero state =
+    'no past activations', matching the golden model's t < d_l handling
+    (`nv_wavenet_reference.cpp:287`)."""
+    rows, pack, _, _ = cfg.packed_ring_plan()
+    return jnp.zeros((rows, batch, pack * cfg.R), dtype)
+
 
 class PersistentPlan(NamedTuple):
     cfg: WaveNetConfig
@@ -203,27 +232,53 @@ class PersistentPlan(NamedTuple):
     interpret: bool
 
 
+def _padded_bytes(shape, dtype_bytes: int) -> int:
+    """VMEM footprint of an array: the minor dim pads to 128 lanes, the
+    second-minor to the dtype's sublane multiple (fp32: 8, bf16: 16)."""
+    if len(shape) < 2:
+        shape = (1,) * (2 - len(shape)) + tuple(shape)
+    sub_mult = {4: 8, 2: 16, 1: 32}[dtype_bytes]
+    lanes = -(-shape[-1] // 128) * 128
+    subs = -(-shape[-2] // sub_mult) * sub_mult
+    n = lanes * subs
+    for d in shape[:-2]:
+        n *= d
+    return n * dtype_bytes
+
+
 def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
                         weight_bytes: int = 4, act_bytes: int = 4) -> int:
     """VMEM budget estimate — the planning analog of the reference's
     occupancy assert (`nv_wavenet_util.cuh:42-58`).
 
-    Aliased carried-state buffers (ring, y_state) are counted TWICE: Mosaic
-    allocates separate input and output VMEM windows for input/output-aliased
-    operands (aliasing only avoids the HBM copy), confirmed by compiler OOM
-    reports showing both windows at full size.
+    Counts the PADDED footprint of every VMEM window the kernel allocates:
+    resident weights, double-buffered streamed blocks (cond/sel/y), the ring
+    scratch (single copy — the ring is an HBM operand DMA'd through scratch),
+    aliased y_state (input + output windows: the compiler does not merge
+    aliased windows), working set, and a spill allowance.
     """
-    w = cfg.weight_bytes(weight_bytes)
-    ring = 2 * cfg.ring_bytes(batch, act_bytes)   # input + output windows
-    # cond/sel/y blocks are double-buffered by the pipeline
-    cond = 2 * chunk * cfg.num_layers * batch * 2 * cfg.R * act_bytes
-    sel = 2 * chunk * batch * 4
-    y = 2 * chunk * batch * 4
-    y_state = 2 * 2 * batch * 4                   # input + output windows
-    work = batch * (8 * cfg.R + 4 * cfg.S + 8 * cfg.A) * 4  # rough live set
-    spill = 4 * 1024 * 1024                       # register-allocator slots
-    tri = cfg.A * cfg.A * 4
-    return w + ring + cond + sel + y + y_state + work + spill + tri
+    L, R, S, A, B = cfg.num_layers, cfg.R, cfg.S, cfg.A, batch
+    wb, ab = weight_bytes, act_bytes
+    weights = (_padded_bytes((2 * A, R), wb)
+               + _padded_bytes((L, 2 * R, 2 * R), wb)
+               + _padded_bytes((L, 2 * R), wb)
+               + _padded_bytes((L, R, R + S), wb)
+               + _padded_bytes((L, R + S), wb)
+               + _padded_bytes((S, A), wb)
+               + _padded_bytes((1, A), wb)
+               + _padded_bytes((A, A), wb)
+               + _padded_bytes((1, A), wb))
+    rows, pack, _, _ = cfg.packed_ring_plan()
+    ring = _padded_bytes((rows, B, pack * R), ab)        # scratch, one copy
+    # streamed blocks are double-buffered by the grid pipeline
+    cond = 2 * _padded_bytes((chunk, L, B, 2 * R), ab)
+    sel = 2 * _padded_bytes((chunk, B), 4)
+    y = 2 * _padded_bytes((chunk, B), 4)
+    y_state = 2 * 2 * _padded_bytes((2, B), 4)           # in + out windows
+    work = _padded_bytes((B, 8 * R + 4 * S + 8 * A), 4)  # rough live set
+    spill = 4 * 1024 * 1024                              # register spills
+    tri = _padded_bytes((A, A), 4)
+    return weights + ring + cond + sel + y + y_state + work + spill + tri
 
 
 def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
@@ -246,9 +301,9 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
     """Build a jittable `generate(params, t0, cond, sel, ring, y_state)`.
 
     cond: [T, L, B, 2R] (T must be a multiple of `chunk`; the engine pads),
-    sel: [T, B], ring: [ring_size, B, R], y_state: [2, B] int32,
-    t0: [1] int32 absolute index of the first sample (ring addressing +
-    chunked `run_partial` parity).
+    sel: [T, B], ring: lane-packed state from `init_ring` (opaque; carried
+    between calls), y_state: [2, B] int32, t0: [1] int32 absolute index of
+    the first sample (ring addressing + chunked `run_partial` parity).
 
     Returns: y [T, B] int32, ring', y_state'  (+ dump arrays when dump=True).
     """
@@ -282,15 +337,14 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
         pl.BlockSpec((chunk, L, B, 2 * R), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((chunk, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        # carried state (aliased to outputs)
-        pl.BlockSpec((cfg.ring_size, B, R), lambda i: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        # carried state (aliased to outputs); the ring stays in HBM (ANY) and
+        # is DMA'd through ONE VMEM scratch copy inside the kernel
+        pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec((2, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = [
         pl.BlockSpec((chunk, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((cfg.ring_size, B, R), lambda i: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec((2, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     if dump:
@@ -336,6 +390,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
             out_specs=out_specs,
             out_shape=out_shape,
             input_output_aliases=aliases,
+            scratch_shapes=[pltpu.VMEM(ring.shape, ring.dtype),
+                            pltpu.SemaphoreType.DMA(())],
             interpret=interpret,
             # raise the scoped-VMEM cap: weights + ring + double-buffered
             # cond chunks legitimately use most of the core's ~128MB VMEM

@@ -18,7 +18,12 @@ import contextlib
 import dataclasses
 
 from nv_wavenet_tpu.config import WaveNetConfig
-from nv_wavenet_tpu.ops.persistent import estimate_vmem_bytes
+from nv_wavenet_tpu.ops.persistent import _padded_bytes, estimate_vmem_bytes
+
+
+def _ring_mb(cfg: WaveNetConfig, batch: int) -> int:
+    rows, pack, _, _ = cfg.packed_ring_plan()
+    return _padded_bytes((rows, batch, pack * cfg.R), 4)
 
 
 @contextlib.contextmanager
@@ -39,6 +44,7 @@ class StepCost:
     flops_per_sample_per_utt: float
     weight_bytes: int
     cond_bytes_per_sample_per_utt: int
+    critical_path_matmuls: int
 
     def roofline_khz(self, batch: int, peak_flops: float = 98e12,
                      hbm_gbs: float = 800.0) -> float:
@@ -46,6 +52,18 @@ class StepCost:
         MXU peak for v5e ~ 98 TFLOP/s; HBM ~ 819 GB/s)."""
         compute_bound = peak_flops / (self.flops_per_sample_per_utt * batch)
         return compute_bound / 1e3
+
+    def latency_floor_khz(self, stage_ns: float = 200.0) -> float:
+        """The binding bound for this workload: every sample is a chain of
+        `critical_path_matmuls` DEPENDENT small matmuls (embed -> L x
+        (dilated, residual) -> Zs -> Za -> cumsum), each costing roughly one
+        MXU occupancy+drain (~200 ns measured for fp32 HIGHEST at B<=64 on
+        v5e — the 6-pass fp32 decomposition and the gate/softmax VPU work
+        hide inside it).  Batch does not change this (rows < 128 ride along
+        free); it only multiplies total chip throughput.  Measured flagship
+        rates (~10 us/step = 2L+4 = 44 stages x ~220 ns) sit at ~90% of this
+        floor — the kernel is latency-bound, not FLOP-bound."""
+        return 1e6 / (self.critical_path_matmuls * stage_ns)
 
 
 def step_cost(cfg: WaveNetConfig) -> StepCost:
@@ -59,6 +77,7 @@ def step_cost(cfg: WaveNetConfig) -> StepCost:
         flops_per_sample_per_utt=flops,
         weight_bytes=cfg.weight_bytes(4),
         cond_bytes_per_sample_per_utt=L * 2 * R * 4,
+        critical_path_matmuls=2 * L + 4,
     )
 
 
@@ -69,11 +88,11 @@ def vmem_report(cfg: WaveNetConfig, batch: int, chunk: int,
     lines = [
         f"VMEM plan for L={cfg.num_layers} R={cfg.R} S={cfg.S} A={cfg.A} "
         f"maxD={cfg.max_dilation} B={batch} chunk={chunk}:",
-        f"  weights      {cfg.weight_bytes(weight_bytes) / mb:8.2f} MB",
-        f"  ring buffer  {cfg.ring_bytes(batch, 4) / mb:8.2f} MB "
-        f"({cfg.ring_size} slots)",
-        f"  cond stream  {2 * chunk * cfg.num_layers * batch * 2 * cfg.R * 4 / mb:8.2f}"
+        f"  weights      {cfg.weight_bytes(weight_bytes) / mb:8.2f} MB (unpadded)",
+        f"  ring buffer  {_ring_mb(cfg, batch) / mb:8.2f} MB "
+        f"({cfg.ring_size} FIFO slots, lane-packed VMEM scratch)",
+        f"  cond stream  {2 * _padded_bytes((chunk, cfg.num_layers, batch, 2 * cfg.R), 4) / mb:8.2f}"
         f" MB (double-buffered)",
-        f"  total est.   {total / mb:8.2f} MB",
+        f"  total est. (padded windows) {total / mb:.2f} MB",
     ]
     return "\n".join(lines)

@@ -49,7 +49,7 @@ def test_shardmap_persistent_matches_single_device():
     params, cond, sel = case(cfg, B, T)
 
     gen1 = persistent.make_persistent_generator(cfg, B, chunk, interpret=True)
-    ring = jnp.zeros((cfg.ring_size, B, cfg.R), jnp.float32)
+    ring = persistent.init_ring(cfg, B)
     ys = jnp.full((2, B), cfg.silence_bin, jnp.int32)
     y_single = np.asarray(gen1(params, np.array([0]), jnp.asarray(cond),
                                jnp.asarray(sel), ring, ys)[0])

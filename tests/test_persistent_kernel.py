@@ -30,7 +30,7 @@ def run_kernel(cfg, params, cond, selectors, batch, chunk, mode="sample",
     gen = persistent.make_persistent_generator(
         cfg, batch, chunk, mode=mode, dump=dump, interpret=True)
     if ring is None:
-        ring = jnp.zeros((cfg.ring_size, batch, cfg.R), jnp.float32)
+        ring = persistent.init_ring(cfg, batch)
     if y_state is None:
         y_state = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
     out = gen(params, np.array([t0]), jnp.asarray(cond), jnp.asarray(selectors),
@@ -110,7 +110,7 @@ def test_kernel_matches_scan_bf16():
     gen = persistent.make_persistent_generator(
         cfg, 2, 4, weight_dtype=jnp.bfloat16, compute_dtype=jnp.float32,
         interpret=True)
-    ring = jnp.zeros((cfg.ring_size, 2, cfg.R), jnp.float32)
+    ring = persistent.init_ring(cfg, 2)
     ys = jnp.full((2, 2), cfg.silence_bin, jnp.int32)
     out = gen(params, np.array([0]), jnp.asarray(cond), jnp.asarray(selectors),
               ring, ys)

@@ -20,3 +20,19 @@ def test_vmem_report_contains_budget_lines():
     # flagship fp32 plan fits the 110MB kernel limit
     total_mb = float(r.splitlines()[-1].split()[-2])
     assert total_mb < 110
+    # lane-packed ring: two same-dilation layers share each 128-lane row
+    # (R=64, 2 dilation cycles) -> 1023 rows x 16 x 128 x 4B = 7.99 MB
+    ring_mb = float([ln for ln in r.splitlines() if "ring buffer" in ln][0]
+                    .split()[2])
+    assert 7.5 < ring_mb < 8.5
+
+
+def test_latency_floor_brackets_measured_rate():
+    """The flagship kernel is latency-bound: the measured per-utterance rate
+    (~100 kHz, BASELINE.md) must sit between ~60% and 100% of the
+    sequential-matmul-chain floor; the FLOP roofline sits far above both."""
+    c = step_cost(FLAGSHIP_CONFIG)
+    assert c.critical_path_matmuls == 44
+    floor = c.latency_floor_khz()
+    assert 90 < floor < 150
+    assert c.roofline_khz(batch=16) > 5 * floor

@@ -40,7 +40,7 @@ def run_case(name, cfg, impl, batch=16, samples=8, seed=101):
 
     eng = WaveNetInfer(num_layers=cfg.num_layers, max_dilation=cfg.max_dilation,
                        R=cfg.R, S=cfg.S, A=cfg.A, max_batch=batch,
-                       implementation=impl, chunk_size=4)
+                       implementation=impl, chunk_size=8)
     eng.set_reference_weights(ref_w)
 
     ok = True

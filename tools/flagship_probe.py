@@ -19,7 +19,7 @@ def bench(cfg, batch, chunk, T, weight_dtype, compute_dtype, ring_dtype):
     cond = jnp.asarray(rng.uniform(-0.5, 0.5,
         (T, cfg.num_layers, batch, 2 * cfg.R)).astype(np.float32)).astype(compute_dtype)
     sel = jnp.asarray(rng.uniform(0, 1, (T, batch)).astype(np.float32))
-    ring = jnp.zeros((cfg.ring_size, batch, cfg.R), ring_dtype)
+    ring = persistent.init_ring(cfg, batch, ring_dtype)
     ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
     gen = jax.jit(persistent.make_persistent_generator(
         cfg, batch, chunk, weight_dtype=weight_dtype, compute_dtype=compute_dtype))

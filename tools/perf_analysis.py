@@ -22,8 +22,8 @@ def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
     cond = jax.random.uniform(k1, (T, cfg.num_layers, batch, 2 * cfg.R),
                               jnp.float32, -0.5, 0.5)
     sel = jax.random.uniform(k2, (T, batch), jnp.float32)
-    ring = jnp.zeros((cfg.ring_size, batch, cfg.R),
-                     jnp.float32 if cdt == jnp.float32 else cdt)
+    ring = persistent.init_ring(cfg, batch,
+                                jnp.float32 if cdt == jnp.float32 else cdt)
     ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
     gen = jax.jit(persistent.make_persistent_generator(
         cfg, batch, chunk, mode=mode, weight_dtype=wdt, compute_dtype=cdt,

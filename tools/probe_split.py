@@ -26,7 +26,7 @@ def measure(cfg, batch, chunk, T, label, iters=3, fetch_all=False, **kw):
     cond = jax.random.uniform(k1, (T, cfg.num_layers, batch, 2 * cfg.R),
                               jnp.float32, -0.5, 0.5)
     sel = jax.random.uniform(k2, (T, batch), jnp.float32)
-    ring = jnp.zeros((cfg.ring_size, batch, cfg.R), jnp.float32)
+    ring = persistent.init_ring(cfg, batch)
     ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
     t0 = time.time()
     gen = jax.jit(persistent.make_persistent_generator(cfg, batch, chunk, **kw))

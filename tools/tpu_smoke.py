@@ -32,7 +32,7 @@ def main():
     params = {k: jnp.asarray(v) for k, v in
               params_lib.to_canonical(ref_w, cfg).items()}
     gen = jax.jit(persistent.make_persistent_generator(cfg, batch, chunk))
-    ring = jnp.zeros((cfg.ring_size, batch, cfg.R), jnp.float32)
+    ring = persistent.init_ring(cfg, batch)
     ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
     t_start = time.time()
     out = gen(params, np.array([0]), jnp.asarray(cond), jnp.asarray(sel), ring, ys)
