@@ -104,3 +104,106 @@ class NativeGolden:
                          1 if mode == "argmax" else 0,
                          y.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         return y
+
+
+# ---------------------------------------------------------------------------
+# Native featurization pipeline (csrc/featurize.cpp): STFT + Slaney mel +
+# mu-law, the C++ twin of train/data.py (which replaces the reference's
+# Tacotron2-submodule torch STFT, `mel2samp_onehot.py:41-42`).
+# ---------------------------------------------------------------------------
+
+_FEAT_SRC = os.path.join(_REPO, "csrc", "featurize.cpp")
+_FEAT_LIB = os.path.join(_REPO, "build", "libfeaturize.so")
+
+_feat_lib: Optional[ctypes.CDLL] = None
+
+
+def _build_feat() -> str:
+    os.makedirs(os.path.dirname(_FEAT_LIB), exist_ok=True)
+    if (not os.path.exists(_FEAT_LIB)
+            or os.path.getmtime(_FEAT_LIB) < os.path.getmtime(_FEAT_SRC)):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _FEAT_SRC,
+             "-o", _FEAT_LIB],
+            check=True, capture_output=True)
+    return _FEAT_LIB
+
+
+def load_feat() -> ctypes.CDLL:
+    global _feat_lib
+    if _feat_lib is None:
+        lib = ctypes.CDLL(_build_feat())
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int)
+        lib.feat_create.restype = ctypes.c_void_p
+        lib.feat_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_double, ctypes.c_int,
+                                    ctypes.c_double, ctypes.c_double]
+        lib.feat_destroy.argtypes = [ctypes.c_void_p]
+        lib.feat_n_bins.restype = ctypes.c_int
+        lib.feat_n_bins.argtypes = [ctypes.c_void_p]
+        lib.feat_n_frames.restype = ctypes.c_int
+        lib.feat_n_frames.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.feat_filterbank.argtypes = [ctypes.c_void_p, f32p]
+        lib.feat_mel_spectrogram.argtypes = [ctypes.c_void_p, f32p,
+                                             ctypes.c_int, f32p]
+        lib.feat_mu_law_encode.argtypes = [f32p, ctypes.c_int, ctypes.c_int, i32p]
+        lib.feat_mu_law_decode.argtypes = [i32p, ctypes.c_int, ctypes.c_int, f32p]
+        _feat_lib = lib
+    return _feat_lib
+
+
+def feat_available() -> bool:
+    try:
+        load_feat()
+        return True
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+class NativeFeaturizer:
+    """Native mel-spectrogram + mu-law featurizer; numerically cross-checked
+    against train/data.py in tests/test_native_featurize.py."""
+
+    def __init__(self, data_cfg):
+        self._lib = load_feat()
+        self.cfg = data_cfg
+        self._ctx = self._lib.feat_create(
+            data_cfg.filter_length, data_cfg.hop_length, data_cfg.win_length,
+            float(data_cfg.sampling_rate), data_cfg.n_mel_channels,
+            float(data_cfg.mel_fmin), float(data_cfg.mel_fmax))
+
+    def __del__(self):
+        if getattr(self, "_ctx", None):
+            self._lib.feat_destroy(self._ctx)
+            self._ctx = None
+
+    def filterbank(self) -> np.ndarray:
+        n_bins = self._lib.feat_n_bins(self._ctx)
+        out = np.zeros((self.cfg.n_mel_channels, n_bins), np.float32)
+        self._lib.feat_filterbank(self._ctx, _fp(out))
+        return out
+
+    def mel_spectrogram(self, audio: np.ndarray) -> np.ndarray:
+        audio = np.ascontiguousarray(audio, np.float32)
+        frames = self._lib.feat_n_frames(self._ctx, len(audio))
+        out = np.zeros((frames, self.cfg.n_mel_channels), np.float32)
+        self._lib.feat_mel_spectrogram(self._ctx, _fp(audio), len(audio),
+                                       _fp(out))
+        return out
+
+    def mu_law_encode(self, audio: np.ndarray, mu: int = 256) -> np.ndarray:
+        audio = np.ascontiguousarray(audio, np.float32)
+        out = np.zeros(len(audio), np.int32)
+        self._lib.feat_mu_law_encode(
+            _fp(audio), len(audio), mu,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        return out
+
+    def mu_law_decode(self, y: np.ndarray, mu: int = 256) -> np.ndarray:
+        y = np.ascontiguousarray(y, np.int32)
+        out = np.zeros(len(y), np.float32)
+        self._lib.feat_mu_law_decode(
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(y), mu,
+            _fp(out))
+        return out
