@@ -77,12 +77,18 @@ def main(argv=None):
     # iteration to restore
     resume_dir = train_c.get("checkpoint_path") or None
     resume_it = train_c.get("checkpoint_iteration", 0)
+    import time
+    t0 = time.time()
     state, losses = trainer.train(model, tcfg, ds.batches(tcfg.batch_size),
                                   num_iters=num_iters, mesh=mesh,
                                   ckpt_dir=out_dir,
                                   resume_dir=resume_dir,
                                   resume_iteration=resume_it)
-    print(f"final loss: {losses[-1]:.6f}")
+    dt = time.time() - t0
+    sps = num_iters * tcfg.batch_size * data_cfg.segment_length / dt
+    print(f"final loss: {losses[-1]:.6f}  "
+          f"({num_iters} iters in {dt:.1f}s incl. compile, "
+          f"{num_iters / dt:.2f} it/s, {sps / 1e6:.2f} M audio samples/s)")
     return state, losses
 
 
