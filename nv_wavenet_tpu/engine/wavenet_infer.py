@@ -95,6 +95,7 @@ class WaveNetInfer:
             "end_b": np.zeros((A,), np.float32),
         }
         self._params: Optional[Dict[str, jax.Array]] = None  # device copy
+        self._params_cast: Optional[Dict[str, jax.Array]] = None
         self._cond: Optional[np.ndarray] = None
         self._cond_pre = None
         self._selectors: Optional[np.ndarray] = None
@@ -109,6 +110,7 @@ class WaveNetInfer:
 
     def _invalidate(self):
         self._params = None
+        self._params_cast = None
         self._cond_pre = None
 
     def set_embeddings(self, embed_prev, embed_cur):
@@ -223,9 +225,17 @@ class WaveNetInfer:
             return Impl.PERSISTENT if est <= self.vmem_budget else Impl.MANYBLOCK
         return impl
 
-    def _device_params(self):
+    def _device_params(self, dtype=None):
         if self._params is None:
             self._params = {k: jnp.asarray(v) for k, v in self._np_params.items()}
+        if dtype is not None and dtype != jnp.float32:
+            # weight-dtype cast for the HBM-streaming path: MANYBLOCK is
+            # bound by per-step weight re-reads, so bf16 storage halves its
+            # bandwidth (the persistent kernel casts internally)
+            if self._params_cast is None:
+                self._params_cast = {k: v.astype(dtype)
+                                     for k, v in self._params.items()}
+            return self._params_cast
         return self._params
 
     def _persistent_gen(self, batch, mode, dump):
@@ -276,8 +286,8 @@ class WaveNetInfer:
         if impl == Impl.MANYBLOCK:
             cond = self._cond[init_sample:init_sample + num_samples, :, :B]
             st, y, aux = scan_generate.generate(
-                params, self._scan_state, cond, sel,
-                cfg, mode=mode, dump=dump_activations,
+                self._device_params(self.weight_dtype), self._scan_state,
+                cond, sel, cfg, mode=mode, dump=dump_activations,
                 compute_dtype=self.compute_dtype, seed=self.sampling_seed)
             self._scan_state = st
             if dump_activations:

@@ -150,3 +150,31 @@ def test_manyblock_prng_mode_chunk_invariant():
     eng.set_inputs(cond, selectors=None)
     y_other = eng.run(8, 2, mode="prng")
     assert not np.array_equal(y_full, y_other)
+
+
+def test_manyblock_bf16_weight_streaming():
+    """weight_dtype=bfloat16 on MANYBLOCK streams cast weights (half the
+    HBM traffic of the bound path); output stays a valid near-fp32 sequence
+    and the cast cache refreshes when weights change."""
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    import jax.numpy as jnp
+    ref_w, cond, sel = make_case(cfg, 2, 6, seed=41)
+    eng = make_engine(cfg, 2, Impl.MANYBLOCK, weight_dtype=jnp.bfloat16)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, sel)
+    y1 = eng.run(6, 2)
+    assert eng._params_cast is not None
+    assert eng._params_cast["dil_w"].dtype == jnp.bfloat16
+    # fp32 engine on the same inputs: bf16 weights must agree on most steps
+    ref = make_engine(cfg, 2, Impl.MANYBLOCK)
+    ref.set_reference_weights(ref_w)
+    ref.set_inputs(cond, sel)
+    y0 = ref.run(6, 2)
+    assert np.mean(y0 == y1) > 0.5
+    # weight update invalidates the cast cache
+    ref_w2 = params_lib.random_reference_weights(cfg, seed=42)
+    eng.set_reference_weights(ref_w2)
+    assert eng._params_cast is None
+    eng.set_inputs(cond, sel)
+    y2 = eng.run(6, 2)
+    assert not np.array_equal(y1, y2)
