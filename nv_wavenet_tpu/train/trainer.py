@@ -180,11 +180,19 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, iteration: int):
 
 def load_checkpoint(ckpt_dir: str, iteration: int, state: TrainState
                     ) -> Tuple[TrainState, int]:
+    import os
+
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     target = {"params": state.params, "opt_state": state.opt_state,
               "step": np.asarray(0)}
-    restored = ckptr.restore(f"{ckpt_dir}/it_{iteration}", target=target)
+    if iteration is None:  # latest
+        its = sorted(int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
+                     if d.startswith("it_"))
+        assert its, f"no it_* checkpoints under {ckpt_dir}"
+        iteration = its[-1]
+    path = os.path.abspath(os.path.join(ckpt_dir, f"it_{iteration}"))
+    restored = ckptr.restore(path, target=target)
     new_state = state.replace(params=restored["params"],
                               opt_state=restored["opt_state"],
                               step=int(restored["step"]))
