@@ -66,7 +66,8 @@ class WaveNetInfer:
                  compute_dtype=jnp.float32,
                  vmem_budget: int = DEFAULT_VMEM_BUDGET,
                  interpret: bool = False,
-                 fast_math: bool = False):
+                 fast_math: bool = False,
+                 mesh=None):
         self.cfg = WaveNetConfig(num_layers=num_layers, R=R, S=S, A=A,
                                  max_dilation=max_dilation,
                                  tanh_embed=tanh_embed)
@@ -79,6 +80,14 @@ class WaveNetInfer:
         self.interpret = interpret
         self.fast_math = fast_math  # fp32 storage, single-pass MXU (not exact)
         self.sampling_seed = 0  # used by mode="prng" (in-kernel TPU PRNG)
+        # multi-chip batch sharding: a jax Mesh with a 'data' axis.  Weights
+        # replicate, the utterance batch shards, and the sample loop stays
+        # on-chip (shard_map of the fused kernel) — P1/§2.6 scaling mode
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.shape["data"]
+            assert max_batch % n == 0, (
+                f"max_batch {max_batch} not divisible by data axis {n}")
 
         cfg = self.cfg
         L = cfg.num_layers
@@ -181,19 +190,39 @@ class WaveNetInfer:
         assert selectors.shape == (T, B)
         # stage inputs on device ONCE (the analog of the reference's
         # device-pointer input path, `nv_wavenet_conversions.cuh:38-42` /
-        # `nv_wavenet_test.cu:359-365`); per-run slices then stay on device
-        self._cond = jnp.asarray(cond, jnp.float32)
+        # `nv_wavenet_test.cu:359-365`); per-run slices then stay on device.
+        # With a mesh, the utterance batch dim shards across chips.
+        from jax.sharding import PartitionSpec as P
+        self._cond = self._shard(jnp.asarray(cond, jnp.float32),
+                                 P(None, None, "data", None))
         self._cond_pre = None   # dil_b-prefolded copy, built lazily per weights
-        self._selectors = jnp.asarray(selectors, jnp.float32)
+        self._selectors = self._shard(jnp.asarray(selectors, jnp.float32),
+                                      P(None, "data"))
         self._reset_state(B)
 
+    def _shard(self, x, spec):
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
     def _reset_state(self, batch):
+        from jax.sharding import PartitionSpec as P
         cfg = self.cfg
         ring_dtype = (jnp.float32 if self.compute_dtype == jnp.float32
                       else self.compute_dtype)
-        self._ring = persistent.init_ring(cfg, batch, ring_dtype)
-        self._y_state = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
-        self._scan_state = scan_generate.init_state(cfg, batch, ring_dtype)
+        self._ring = self._shard(persistent.init_ring(cfg, batch, ring_dtype),
+                                 P(None, "data", None))
+        self._y_state = self._shard(
+            jnp.full((2, batch), cfg.silence_bin, jnp.int32), P(None, "data"))
+        st = scan_generate.init_state(cfg, batch, ring_dtype)
+        if self.mesh is not None:
+            st = scan_generate.GenState(
+                ring=self._shard(st.ring, P(None, "data", None)),
+                y_prev=self._shard(st.y_prev, P("data")),
+                y_cur=self._shard(st.y_cur, P("data")),
+                t=self._shard(st.t, P()))
+        self._scan_state = st
 
     # ------------------------------------------------------------------
     # implementation selection
@@ -208,11 +237,17 @@ class WaveNetInfer:
         TPU lowering requires the second-minor block dim to be a sublane
         multiple (interpret-mode tests don't enforce this; hardware does)."""
         wb = 2 if self.weight_dtype == jnp.bfloat16 else 4
+        b_dev = self._per_device(batch)
         chunk = max(8, self.chunk_size - self.chunk_size % 8)
         while chunk > 8 and persistent.estimate_vmem_bytes(
-                self.cfg, batch, chunk, wb) > self.vmem_budget:
+                self.cfg, b_dev, chunk, wb) > self.vmem_budget:
             chunk //= 2
         return max(8, chunk - chunk % 8)
+
+    def _per_device(self, batch) -> int:
+        """Per-chip batch: VMEM planning is per core, so the mesh divides the
+        utterance batch before any estimate."""
+        return batch // self.mesh.shape["data"] if self.mesh else batch
 
     def _resolve_impl(self, batch) -> Impl:
         impl = self.implementation
@@ -220,7 +255,8 @@ class WaveNetInfer:
             return Impl.PERSISTENT
         if impl == Impl.AUTO:
             wb = 2 if self.weight_dtype == jnp.bfloat16 else 4
-            est = persistent.estimate_vmem_bytes(self.cfg, batch,
+            est = persistent.estimate_vmem_bytes(self.cfg,
+                                                 self._per_device(batch),
                                                  self._effective_chunk(batch), wb)
             return Impl.PERSISTENT if est <= self.vmem_budget else Impl.MANYBLOCK
         return impl
@@ -242,11 +278,22 @@ class WaveNetInfer:
         chunk = self._effective_chunk(batch)
         key = ("persistent", batch, chunk, mode, dump)
         if key not in self._gen_cache:
-            self._gen_cache[key] = jax.jit(persistent.make_persistent_generator(
-                self.cfg, batch, chunk, mode=mode, dump=dump,
-                weight_dtype=self.weight_dtype, compute_dtype=self.compute_dtype,
-                interpret=self.interpret, fast_math=self.fast_math,
-                prefold_cond=True))
+            if self.mesh is not None:
+                assert not dump, "dump_activations is a single-device feature"
+                from nv_wavenet_tpu.parallel import mesh as mesh_lib
+                self._gen_cache[key] = mesh_lib.make_sharded_persistent_generator(
+                    self.cfg, self.mesh, self._per_device(batch), chunk,
+                    mode=mode, weight_dtype=self.weight_dtype,
+                    compute_dtype=self.compute_dtype,
+                    interpret=self.interpret, prefold_cond=True)
+            else:
+                self._gen_cache[key] = jax.jit(
+                    persistent.make_persistent_generator(
+                        self.cfg, batch, chunk, mode=mode, dump=dump,
+                        weight_dtype=self.weight_dtype,
+                        compute_dtype=self.compute_dtype,
+                        interpret=self.interpret, fast_math=self.fast_math,
+                        prefold_cond=True))
         return self._gen_cache[key]
 
     # ------------------------------------------------------------------
@@ -303,9 +350,15 @@ class WaveNetInfer:
             cond = jnp.pad(cond, ((0, pad), (0, 0), (0, 0), (0, 0)))
             sel = jnp.pad(sel, ((0, pad), (0, 0)))
         gen = self._persistent_gen(B, mode, dump_activations)
-        out = gen(params, np.array([init_sample]), cond,
-                  sel, self._ring, self._y_state, n_valid=T,
-                  seed=self.sampling_seed)
+        if self.mesh is not None:
+            out = gen(params,
+                      jnp.array([init_sample, T, self.sampling_seed],
+                                jnp.int32),
+                      cond, sel, self._ring, self._y_state)
+        else:
+            out = gen(params, np.array([init_sample]), cond,
+                      sel, self._ring, self._y_state, n_valid=T,
+                      seed=self.sampling_seed)
         y, self._ring, self._y_state = out[0], out[1], out[2]
         if dump_activations and len(out) > 3:
             xt, skip, zs, za, p = [np.asarray(o) for o in out[3:]]

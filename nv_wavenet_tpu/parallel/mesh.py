@@ -83,21 +83,33 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
                                       mode: str = "sample",
                                       weight_dtype=jnp.float32,
                                       compute_dtype=jnp.float32,
-                                      interpret: bool = False):
+                                      interpret: bool = False,
+                                      prefold_cond: bool = False):
     """shard_map the fused Pallas persistent kernel over the 'data' axis:
     every chip runs the whole network on its own utterances (weights
     replicated in each chip's VMEM).  This is the multi-chip scaling mode —
     utterances/sec scales linearly because the sample loop never leaves the
     chip, mirroring the reference's per-block-group batch ownership
-    (`nv_wavenet_singleblock.cuh:264`)."""
+    (`nv_wavenet_singleblock.cuh:264`).
+
+    Returned callable has the engine-facing signature
+    `(params, scalars [t0, n_valid, seed] int32[3], cond, sel, ring,
+    y_state) -> (y, ring', y_state')` with global (unsharded) shapes; the
+    ring is the lane-packed persistent state (`persistent.init_ring`)."""
     from jax import shard_map
 
     gen = persistent.make_persistent_generator(
         cfg, batch_per_device, chunk, mode=mode, weight_dtype=weight_dtype,
-        compute_dtype=compute_dtype, interpret=interpret)
+        compute_dtype=compute_dtype, interpret=interpret,
+        prefold_cond=prefold_cond)
 
-    def local_gen(params, t0, cond, sel, ring, y_state):
-        out = gen(params, t0[0], cond, sel, ring, y_state)
+    def local_gen(params, scalars, cond, sel, ring, y_state):
+        # decorrelate mode="prng" draws across shards (in-kernel reseed is
+        # per absolute sample index; mix in the shard's position so shards
+        # don't replay identical selector streams)
+        seed = scalars[2] + jax.lax.axis_index("data") * jnp.int32(7919)
+        out = gen(params, scalars[0:1], cond, sel, ring, y_state,
+                  n_valid=scalars[1], seed=seed)
         return tuple(out[:3])
 
     param_spec = jax.tree.map(lambda _: P(), dict.fromkeys(
