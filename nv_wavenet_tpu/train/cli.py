@@ -30,6 +30,8 @@ def main(argv=None):
     dist_c = cfg.get("dist_config", {})
     wavenet_c = cfg["wavenet_config"]
 
+    from nv_wavenet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from nv_wavenet_tpu.train import trainer
     from nv_wavenet_tpu.train.data import (DataConfig, Mel2Samp, load_wav,
                                            synthetic_clips)
@@ -82,6 +84,7 @@ def main(argv=None):
     state, losses = trainer.train(model, tcfg, ds.batches(tcfg.batch_size),
                                   num_iters=num_iters, mesh=mesh,
                                   ckpt_dir=out_dir,
+                                  log_every=train_c.get("log_every", 1),
                                   resume_dir=resume_dir,
                                   resume_iteration=resume_it)
     dt = time.time() - t0

@@ -227,14 +227,65 @@ def train(model: WaveNetTrain, train_cfg: TrainConfig,
     else:
         step_fn = jax.jit(train_step, donate_argnums=(0,))
 
+    # losses are kept as device scalars and fetched lazily: a float() per
+    # iteration would synchronize the async dispatch pipeline every step
+    # (one host round-trip each — expensive over a tunneled TPU); with
+    # log_every=1 the print itself forces the fetch, matching the
+    # reference's per-iteration print (`train.py:147`)
     losses = []
+    dev_batches = _device_prefetch(batches, first=(mel0, audio0))
     for it in range(start_iter, num_iters):
-        mel, audio = (mel0, audio0) if it == start_iter else next(batches)
-        state, loss = step_fn(state, jnp.asarray(mel), jnp.asarray(audio))
-        loss = float(loss)
+        mel_d, audio_d = next(dev_batches)
+        state, loss = step_fn(state, mel_d, audio_d)
         losses.append(loss)
         if it % log_every == 0:
-            print(f"{it}:\t{loss:.9f}", flush=True)
+            print(f"{it}:\t{float(loss):.9f}", flush=True)
         if ckpt_dir and (it + 1) % train_cfg.iters_per_checkpoint == 0:
             save_checkpoint(ckpt_dir, state, it + 1)
-    return state, losses
+    return state, [float(l) for l in losses]
+
+
+def _device_prefetch(batches: Iterator, first=None, depth: int = 2):
+    """Background-thread host->device staging of upcoming batches — the
+    analog of the reference's `DataLoader(num_workers=1, pin_memory=True)`
+    (`train.py:109-117`): featurization AND the device transfer of batch
+    i+1/i+2 overlap step i's compute instead of serializing with it (the
+    transfer is the dominant per-iteration cost on a tunneled TPU)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            if first is not None and not put(tuple(jnp.asarray(a)
+                                                   for a in first)):
+                return
+            while not stop.is_set():
+                batch = next(batches)
+                if not put(tuple(jnp.asarray(a) for a in batch)):
+                    return
+        except StopIteration:
+            pass
+        put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()

@@ -121,16 +121,55 @@ def test_sharded_training_matches_single_device():
     model = WaveNetTrain(**TINY)
     mel, audio = tiny_batch(batch=4)
     cfg = trainer.TrainConfig(learning_rate=1e-3)
-    state1 = trainer.create_train_state(model, cfg, mel, audio)
-    state1, loss1 = jax.jit(trainer.train_step)(state1, jnp.asarray(mel),
-                                                jnp.asarray(audio))
+    melj, audioj = jnp.asarray(mel), jnp.asarray(audio)
 
+    # gradient agreement at identical init params is the real
+    # collective-correctness property (the reference's allreduce contract)
+    def grads_of(params):
+        def loss_fn(p):
+            return trainer.cross_entropy_loss(model.apply(p, melj, audioj),
+                                              audioj)
+        return jax.grad(loss_fn)(params)
+
+    state1 = trainer.create_train_state(model, cfg, mel, audio)
     mesh = trainer.make_mesh(4, 2)
     state2 = trainer.create_train_state(model, cfg, mel, audio)
     state2, _ = trainer.shard_train_state(state2, mesh)
+    g1 = jax.jit(grads_of)(state1.params)
+    g2 = jax.jit(grads_of)(state2.params)   # sharded inputs -> sharded grads
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        jax.device_get(g1), jax.device_get(g2))
+
+    state1, loss1 = jax.jit(trainer.train_step)(state1, melj, audioj)
     step = trainer.make_sharded_train_step(mesh)
     state2, loss2 = step(state2, mel, audio)
     assert abs(float(loss1) - float(loss2)) < 1e-5
+    # post-Adam params are NOT comparable at tight tolerance (the first Adam
+    # update is ~sign(g)*lr; near-zero grads legitimately flip sign under
+    # sharded reduction order) — bound divergence by one step size instead
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
-        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        np.asarray(a), np.asarray(b), atol=2.1 * cfg.learning_rate),
         state1.params, jax.device_get(state2.params))
+
+
+def test_mel_upsample_equals_conv_transpose():
+    """MelUpsample (einsum + overlap-add) must reproduce
+    nn.ConvTranspose(padding="VALID") with the same parameters — it is a
+    checkpoint-compatible drop-in whose only difference is the TPU lowering."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.models.wavenet import MelUpsample
+
+    B, F, C, K, S = 2, 9, 7, 12, 3
+    x = jnp.asarray(np.random.RandomState(0).randn(B, F, C).astype(np.float32))
+    ct = nn.ConvTranspose(features=C, kernel_size=(K,), strides=(S,),
+                          padding="VALID", precision="highest")
+    p = ct.init(jax.random.PRNGKey(0), x)
+    ref = ct.apply(p, x)
+    ours = MelUpsample(features=C, window=K, stride=S).apply(p, x)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

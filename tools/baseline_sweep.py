@@ -78,6 +78,8 @@ def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
 
 
 def main():
+    from nv_wavenet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=8192)
     ap.add_argument("--skip-golden", action="store_true")

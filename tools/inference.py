@@ -43,6 +43,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from nv_wavenet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
     from nv_wavenet_tpu.models import wavenet as wavenet_lib

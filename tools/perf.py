@@ -52,6 +52,8 @@ def main():
     args = ap.parse_args()
 
     import jax.numpy as jnp
+    from nv_wavenet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
 
