@@ -32,10 +32,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    except Exception:
-        pass
+    from nv_wavenet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from nv_wavenet_tpu.config import WaveNetConfig
     from nv_wavenet_tpu.models import params as params_lib

@@ -22,6 +22,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <vector>
 
 namespace {
@@ -122,11 +123,17 @@ int feat_n_frames(void* ctx, int n_samples) {
 void feat_mel_spectrogram(void* ctx, const float* audio, int n, float* out) {
   auto* c = (FeatCtx*)ctx;
   int pad = c->n_fft / 2;
-  // centered reflect padding (numpy "reflect": no edge duplication)
+  // centered reflect padding (numpy "reflect": no edge duplication, with
+  // multiple reflections when the pad exceeds the signal — index folding
+  // over the period 2(n-1))
+  auto reflect = [n](long i) -> int {
+    if (n == 1) return 0;
+    long period = 2L * (n - 1);
+    i = std::labs(i) % period;
+    return (int)(i < n ? i : period - i);
+  };
   std::vector<float> x(n + 2 * pad);
-  for (int i = 0; i < pad; i++) x[i] = audio[pad - i];
-  for (int i = 0; i < n; i++) x[pad + i] = audio[i];
-  for (int i = 0; i < pad; i++) x[pad + n + i] = audio[n - 2 - i];
+  for (int i = 0; i < n + 2 * pad; i++) x[i] = audio[reflect((long)i - pad)];
   int frames = feat_n_frames(ctx, n);
   std::vector<float> wf(c->n_fft);
   std::vector<float> mag(c->n_bins);

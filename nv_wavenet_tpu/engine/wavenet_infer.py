@@ -285,7 +285,8 @@ class WaveNetInfer:
                     self.cfg, self.mesh, self._per_device(batch), chunk,
                     mode=mode, weight_dtype=self.weight_dtype,
                     compute_dtype=self.compute_dtype,
-                    interpret=self.interpret, prefold_cond=True)
+                    interpret=self.interpret, prefold_cond=True,
+                    fast_math=self.fast_math)
             else:
                 self._gen_cache[key] = jax.jit(
                     persistent.make_persistent_generator(

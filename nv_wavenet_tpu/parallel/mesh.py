@@ -84,7 +84,8 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
                                       weight_dtype=jnp.float32,
                                       compute_dtype=jnp.float32,
                                       interpret: bool = False,
-                                      prefold_cond: bool = False):
+                                      prefold_cond: bool = False,
+                                      fast_math: bool = False):
     """shard_map the fused Pallas persistent kernel over the 'data' axis:
     every chip runs the whole network on its own utterances (weights
     replicated in each chip's VMEM).  This is the multi-chip scaling mode —
@@ -101,13 +102,17 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
     gen = persistent.make_persistent_generator(
         cfg, batch_per_device, chunk, mode=mode, weight_dtype=weight_dtype,
         compute_dtype=compute_dtype, interpret=interpret,
-        prefold_cond=prefold_cond)
+        prefold_cond=prefold_cond, fast_math=fast_math)
 
     def local_gen(params, scalars, cond, sel, ring, y_state):
-        # decorrelate mode="prng" draws across shards (in-kernel reseed is
-        # per absolute sample index; mix in the shard's position so shards
-        # don't replay identical selector streams)
-        seed = scalars[2] + jax.lax.axis_index("data") * jnp.int32(7919)
+        # decorrelate mode="prng" draws across shards: the kernel reseeds
+        # additively per absolute sample index (seed + t), so the per-shard
+        # stride must exceed any realistic sample count or shard k+1 would
+        # replay shard k's stream shifted by the stride.  0x9E3779B1 (golden
+        # ratio) keeps streams ~2^31 steps apart.
+        seed = (scalars[2]
+                + jax.lax.axis_index("data").astype(jnp.int32)
+                * jnp.int32(-1640531527))  # 0x9E3779B9 as int32
         out = gen(params, scalars[0:1], cond, sel, ring, y_state,
                   n_valid=scalars[1], seed=seed)
         return tuple(out[:3])

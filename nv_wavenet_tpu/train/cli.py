@@ -88,10 +88,15 @@ def main(argv=None):
                                   resume_dir=resume_dir,
                                   resume_iteration=resume_it)
     dt = time.time() - t0
-    sps = num_iters * tcfg.batch_size * data_cfg.segment_length / dt
-    print(f"final loss: {losses[-1]:.6f}  "
-          f"({num_iters} iters in {dt:.1f}s incl. compile, "
-          f"{num_iters / dt:.2f} it/s, {sps / 1e6:.2f} M audio samples/s)")
+    ran = len(losses)  # may be < num_iters when resuming mid-schedule
+    if ran:
+        sps = ran * tcfg.batch_size * data_cfg.segment_length / dt
+        print(f"final loss: {losses[-1]:.6f}  "
+              f"({ran} iters in {dt:.1f}s incl. compile, "
+              f"{ran / dt:.2f} it/s, {sps / 1e6:.2f} M audio samples/s)")
+    else:
+        print(f"nothing to do: resumed at iteration >= num_iters="
+              f"{num_iters}")
     return state, losses
 
 

@@ -233,7 +233,13 @@ def train(model: WaveNetTrain, train_cfg: TrainConfig,
     # log_every=1 the print itself forces the fetch, matching the
     # reference's per-iteration print (`train.py:147`)
     losses = []
-    dev_batches = _device_prefetch(batches, first=(mel0, audio0))
+    shard_fn = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P("data"))
+        shard_fn = lambda a: jax.device_put(np.asarray(a), batch_sharding)  # noqa: E731
+    dev_batches = _device_prefetch(batches, first=(mel0, audio0),
+                                   shard_fn=shard_fn)
     for it in range(start_iter, num_iters):
         mel_d, audio_d = next(dev_batches)
         state, loss = step_fn(state, mel_d, audio_d)
@@ -245,12 +251,16 @@ def train(model: WaveNetTrain, train_cfg: TrainConfig,
     return state, [float(l) for l in losses]
 
 
-def _device_prefetch(batches: Iterator, first=None, depth: int = 2):
+def _device_prefetch(batches: Iterator, first=None, depth: int = 2,
+                     shard_fn=None):
     """Background-thread host->device staging of upcoming batches — the
     analog of the reference's `DataLoader(num_workers=1, pin_memory=True)`
     (`train.py:109-117`): featurization AND the device transfer of batch
     i+1/i+2 overlap step i's compute instead of serializing with it (the
-    transfer is the dominant per-iteration cost on a tunneled TPU)."""
+    transfer is the dominant per-iteration cost on a tunneled TPU).
+    `shard_fn` stages each array directly into its final (sharded) layout so
+    sharded training doesn't pay a chip0->all-chips reshard per step.
+    Worker exceptions are re-raised in the consumer."""
     import queue
     import threading
 
@@ -266,17 +276,23 @@ def _device_prefetch(batches: Iterator, first=None, depth: int = 2):
                 continue
         return False
 
+    def stage(batch):
+        return tuple(shard_fn(a) if shard_fn else jnp.asarray(a)
+                     for a in batch)
+
     def worker():
         try:
-            if first is not None and not put(tuple(jnp.asarray(a)
-                                                   for a in first)):
+            if first is not None and not put(stage(first)):
                 return
             while not stop.is_set():
                 batch = next(batches)
-                if not put(tuple(jnp.asarray(a) for a in batch)):
+                if not put(stage(batch)):
                     return
         except StopIteration:
             pass
+        except BaseException as e:  # surface in the consumer, don't hang it
+            put(e)
+            return
         put(None)
 
     t = threading.Thread(target=worker, daemon=True)
@@ -286,6 +302,8 @@ def _device_prefetch(batches: Iterator, first=None, depth: int = 2):
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

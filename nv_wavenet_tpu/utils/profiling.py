@@ -21,7 +21,7 @@ from nv_wavenet_tpu.config import WaveNetConfig
 from nv_wavenet_tpu.ops.persistent import _padded_bytes, estimate_vmem_bytes
 
 
-def _ring_mb(cfg: WaveNetConfig, batch: int) -> int:
+def _ring_bytes(cfg: WaveNetConfig, batch: int) -> int:
     rows, pack, _, _ = cfg.packed_ring_plan()
     return _padded_bytes((rows, batch, pack * cfg.R), 4)
 
@@ -89,7 +89,7 @@ def vmem_report(cfg: WaveNetConfig, batch: int, chunk: int,
         f"VMEM plan for L={cfg.num_layers} R={cfg.R} S={cfg.S} A={cfg.A} "
         f"maxD={cfg.max_dilation} B={batch} chunk={chunk}:",
         f"  weights      {cfg.weight_bytes(weight_bytes) / mb:8.2f} MB (unpadded)",
-        f"  ring buffer  {_ring_mb(cfg, batch) / mb:8.2f} MB "
+        f"  ring buffer  {_ring_bytes(cfg, batch) / mb:8.2f} MB "
         f"({cfg.ring_size} FIFO slots, lane-packed VMEM scratch)",
         f"  cond stream  {2 * _padded_bytes((chunk, cfg.num_layers, batch, 2 * cfg.R), 4) / mb:8.2f}"
         f" MB (double-buffered)",

@@ -56,3 +56,18 @@ def test_mu_law_codec_exact_match():
     dec_c = f.mu_law_decode(enc_c)
     dec_np = mu_law_decode_np(enc_np)
     np.testing.assert_allclose(dec_c, dec_np, rtol=1e-6, atol=1e-7)
+
+
+def test_mel_short_clip_multi_reflection():
+    """Clips shorter than n_fft/2 need multiple reflections in the centered
+    padding (numpy 'reflect' semantics); the native pipeline must not read
+    out of bounds and must match numpy."""
+    cfg = data_lib.DataConfig(filter_length=800, hop_length=200,
+                              win_length=800, n_mel_channels=80)
+    for n in (3, 50, 399, 401):
+        audio = data_lib.synthetic_clips(n_clips=1, length=2048,
+                                         seed=9)[0][:n]
+        mel_np = data_lib.mel_spectrogram(audio, cfg)
+        mel_c = native.NativeFeaturizer(cfg).mel_spectrogram(audio)
+        assert mel_c.shape == mel_np.shape
+        np.testing.assert_allclose(mel_c, mel_np, rtol=1e-4, atol=1e-3)

@@ -173,3 +173,18 @@ def test_mel_upsample_equals_conv_transpose():
     assert ours.shape == ref.shape
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_prefetch_propagates_worker_errors():
+    """An exception inside the data iterator must surface in the training
+    loop (not hang the consumer waiting on the queue)."""
+    from nv_wavenet_tpu.train.trainer import _device_prefetch
+
+    def bad_batches():
+        yield (np.zeros((2, 4), np.float32),)
+        raise RuntimeError("boom")
+
+    it = _device_prefetch(bad_batches())
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)

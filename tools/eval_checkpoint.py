@@ -41,11 +41,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.abspath(".jax_cache"))
-    except Exception:
-        pass
+    from nv_wavenet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from nv_wavenet_tpu.engine.wavenet_infer import WaveNetInfer
     from nv_wavenet_tpu.models import wavenet as wavenet_lib

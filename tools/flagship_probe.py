@@ -9,7 +9,8 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from nv_wavenet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 
 from nv_wavenet_tpu.config import WaveNetConfig
 from tools.probe_split import measure

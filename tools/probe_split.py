@@ -11,7 +11,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from nv_wavenet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 
 from nv_wavenet_tpu.config import WaveNetConfig
 from nv_wavenet_tpu.models import params as params_lib
