@@ -383,6 +383,82 @@ class WaveNetInfer:
                                      mode, dump_activations)
         return np.asarray(y).T
 
+    def begin_stream(self, batch_size: int):
+        """Start incremental generation: conditioning arrives chunk-by-chunk
+        through `feed` (the way a TTS frontend produces it), instead of all
+        upfront through `set_inputs` (the reference's only mode,
+        `nv_wavenet.cuh:417`).  Generation state resets to silence."""
+        assert batch_size <= self.max_batch
+        self._reset_state(batch_size)
+        self._stream_t = 0
+        self._stream_batch = batch_size
+
+    def feed(self, cond_chunk: np.ndarray,
+             selectors_chunk: Optional[np.ndarray] = None,
+             mode: str = "sample") -> np.ndarray:
+        """Generate len(cond_chunk) samples continuing the stream; returns
+        y [batch, n] int32.  Chunk lengths may vary call-to-call and need not
+        align to the kernel chunk (in-kernel n_valid masking keeps carried
+        state exact at ragged boundaries).  Equivalent to one full run over
+        the concatenated conditioning."""
+        assert getattr(self, "_stream_t", None) is not None, (
+            "call begin_stream(batch_size) first")
+        B = self._stream_batch
+        T, L, Bc, C = cond_chunk.shape
+        assert Bc == B and L == self.cfg.num_layers and C == 2 * self.cfg.R
+        if selectors_chunk is None:
+            if mode == "sample":
+                selectors_chunk = np.random.RandomState(
+                    self.sampling_seed + self._stream_t).uniform(
+                        0, 1, size=(T, B)).astype(np.float32)
+            else:
+                selectors_chunk = np.zeros((T, B), np.float32)
+        # stage this chunk as the engine's current inputs, but keep the
+        # carried generation state (set_inputs would reset it)
+        from jax.sharding import PartitionSpec as P
+        self._cond = self._shard(jnp.asarray(cond_chunk, jnp.float32),
+                                 P(None, None, "data", None))
+        self._cond_pre = None
+        self._selectors = self._shard(
+            jnp.asarray(selectors_chunk, jnp.float32), P(None, "data"))
+        t0 = self._stream_t
+        self._stream_t += T
+        # slice indices are chunk-local; the absolute index t0 drives ring
+        # addressing and PRNG reseeds inside the kernel
+        y = self._stream_partial(t0, T, B, mode)
+        return np.asarray(y).T
+
+    def _stream_partial(self, t0: int, T: int, B: int, mode: str):
+        cfg = self.cfg
+        sel = self._selectors
+        impl = self._resolve_impl(B)
+        params = self._device_params()
+        if self._cond_pre is None:
+            self._cond_pre = self._cond + params["dil_b"][None, :, None, :]
+        if impl == Impl.MANYBLOCK:
+            st, y, _ = scan_generate.generate(
+                self._device_params(self.weight_dtype), self._scan_state,
+                self._cond, sel, cfg, mode=mode,
+                compute_dtype=self.compute_dtype, seed=self.sampling_seed)
+            self._scan_state = st
+            return y.T
+        cond = self._cond_pre
+        chunk = self._effective_chunk(B)
+        pad = (-T) % chunk
+        if pad:
+            cond = jnp.pad(cond, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            sel = jnp.pad(sel, ((0, pad), (0, 0)))
+        gen = self._persistent_gen(B, mode, False)
+        if self.mesh is not None:
+            out = gen(params, jnp.array([t0, T, self.sampling_seed],
+                                        jnp.int32),
+                      cond, sel, self._ring, self._y_state)
+        else:
+            out = gen(params, np.array([t0]), cond, sel, self._ring,
+                      self._y_state, n_valid=T, seed=self.sampling_seed)
+        y, self._ring, self._y_state = out[0], out[1], out[2]
+        return y[:T]
+
     def run_chunks(self, chunk_size: int, consume: Callable, num_samples: int,
                    batch_size: int, mode: str = "sample") -> np.ndarray:
         """Chunked generation with a host consume callback per chunk —

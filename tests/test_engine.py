@@ -178,3 +178,30 @@ def test_manyblock_bf16_weight_streaming():
     eng.set_inputs(cond, sel)
     y2 = eng.run(6, 2)
     assert not np.array_equal(y1, y2)
+
+
+def test_streaming_feed_matches_full_run():
+    """Incremental conditioning (begin_stream/feed with ragged chunk sizes)
+    must reproduce one full run over the concatenated conditioning exactly —
+    including injected-selector parity with the golden model."""
+    from nv_wavenet_tpu.models.golden import WaveNetGolden
+
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+    B, T = 3, 17
+    ref_w, cond, sel = make_case(cfg, B, T, seed=61)
+    golden = WaveNetGolden(cfg, B, T)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_gold = golden.run(T, B)
+
+    for impl in (Impl.PERSISTENT, Impl.MANYBLOCK):
+        eng = make_engine(cfg, B, impl, chunk=8)
+        eng.set_reference_weights(ref_w)
+        eng.begin_stream(B)
+        outs = []
+        off = 0
+        for n in (5, 1, 8, 3):  # ragged, non-chunk-aligned
+            outs.append(eng.feed(cond[off:off + n], sel[off:off + n]))
+            off += n
+        y = np.concatenate(outs, axis=1)
+        assert np.array_equal(y, y_gold), impl
