@@ -321,47 +321,57 @@ class WaveNetInfer:
         T = sel.shape[0]
         assert T == num_samples, "set_inputs cond is shorter than requested run"
 
-        impl = self._resolve_impl(B)
-        params = self._device_params()
         if init_sample == 0:
             self._reset_state(B)
         if self._cond_pre is None:
             # fold the dilated-conv bias into the conditioning stream once
             # (removes one VPU add per layer per sample in the kernel;
             # float-exact: elementwise add is exactly rounded)
-            self._cond_pre = self._cond + params["dil_b"][None, :, None, :]
+            self._cond_pre = (self._cond
+                              + self._device_params()["dil_b"][None, :, None, :])
+        sl = slice(init_sample, init_sample + num_samples)
+        return self._dispatch(init_sample, self._cond[sl, :, :B],
+                              self._cond_pre[sl, :, :B], sel, B, mode,
+                              dump_activations)
 
+    def _dispatch(self, t0: int, cond, cond_pre, sel, B: int, mode: str,
+                  dump: bool):
+        """Run the resolved implementation over chunk-local device inputs
+        (cond raw for the scan path, cond_pre = dil_b-prefolded for the
+        kernel), carrying generation state; t0 is the absolute index of the
+        first sample (ring addressing + PRNG reseeds).  Returns device y
+        [T, B]."""
+        T = sel.shape[0]
+        impl = self._resolve_impl(B)
         if impl == Impl.MANYBLOCK:
-            cond = self._cond[init_sample:init_sample + num_samples, :, :B]
             st, y, aux = scan_generate.generate(
                 self._device_params(self.weight_dtype), self._scan_state,
-                cond, sel, cfg, mode=mode, dump=dump_activations,
+                cond, sel, self.cfg, mode=mode, dump=dump,
                 compute_dtype=self.compute_dtype, seed=self.sampling_seed)
             self._scan_state = st
-            if dump_activations:
+            if dump:
                 self._dumps = jax.tree.map(np.asarray, aux)
             return y.T  # [T, B] on device
 
         # persistent kernel: pad T to a chunk multiple; padded tail steps are
         # masked in-kernel so carried state stays exact at ragged boundaries
-        cond = self._cond_pre[init_sample:init_sample + num_samples, :, :B]
+        params = self._device_params()
         chunk = self._effective_chunk(B)
         pad = (-T) % chunk
         if pad:
-            cond = jnp.pad(cond, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            cond_pre = jnp.pad(cond_pre, ((0, pad), (0, 0), (0, 0), (0, 0)))
             sel = jnp.pad(sel, ((0, pad), (0, 0)))
-        gen = self._persistent_gen(B, mode, dump_activations)
+        gen = self._persistent_gen(B, mode, dump)
         if self.mesh is not None:
-            out = gen(params,
-                      jnp.array([init_sample, T, self.sampling_seed],
-                                jnp.int32),
-                      cond, sel, self._ring, self._y_state)
+            out = gen(params, jnp.array([t0, T, self.sampling_seed],
+                                        jnp.int32),
+                      cond_pre, sel, self._ring, self._y_state)
         else:
-            out = gen(params, np.array([init_sample]), cond,
+            out = gen(params, np.array([t0]), cond_pre,
                       sel, self._ring, self._y_state, n_valid=T,
                       seed=self.sampling_seed)
         y, self._ring, self._y_state = out[0], out[1], out[2]
-        if dump_activations and len(out) > 3:
+        if dump and len(out) > 3:
             xt, skip, zs, za, p = [np.asarray(o) for o in out[3:]]
             self._dumps = {"xt": xt, "skip": skip, "zs": zs, "za": za, "p": p}
         return y[:T]
@@ -413,51 +423,18 @@ class WaveNetInfer:
                         0, 1, size=(T, B)).astype(np.float32)
             else:
                 selectors_chunk = np.zeros((T, B), np.float32)
-        # stage this chunk as the engine's current inputs, but keep the
+        # stage the chunk on device (sharded under a mesh), keeping the
         # carried generation state (set_inputs would reset it)
         from jax.sharding import PartitionSpec as P
-        self._cond = self._shard(jnp.asarray(cond_chunk, jnp.float32),
-                                 P(None, None, "data", None))
-        self._cond_pre = None
-        self._selectors = self._shard(
-            jnp.asarray(selectors_chunk, jnp.float32), P(None, "data"))
+        cond = self._shard(jnp.asarray(cond_chunk, jnp.float32),
+                           P(None, None, "data", None))
+        sel = self._shard(jnp.asarray(selectors_chunk, jnp.float32),
+                          P(None, "data"))
+        cond_pre = cond + self._device_params()["dil_b"][None, :, None, :]
         t0 = self._stream_t
         self._stream_t += T
-        # slice indices are chunk-local; the absolute index t0 drives ring
-        # addressing and PRNG reseeds inside the kernel
-        y = self._stream_partial(t0, T, B, mode)
+        y = self._dispatch(t0, cond, cond_pre, sel, B, mode, False)
         return np.asarray(y).T
-
-    def _stream_partial(self, t0: int, T: int, B: int, mode: str):
-        cfg = self.cfg
-        sel = self._selectors
-        impl = self._resolve_impl(B)
-        params = self._device_params()
-        if self._cond_pre is None:
-            self._cond_pre = self._cond + params["dil_b"][None, :, None, :]
-        if impl == Impl.MANYBLOCK:
-            st, y, _ = scan_generate.generate(
-                self._device_params(self.weight_dtype), self._scan_state,
-                self._cond, sel, cfg, mode=mode,
-                compute_dtype=self.compute_dtype, seed=self.sampling_seed)
-            self._scan_state = st
-            return y.T
-        cond = self._cond_pre
-        chunk = self._effective_chunk(B)
-        pad = (-T) % chunk
-        if pad:
-            cond = jnp.pad(cond, ((0, pad), (0, 0), (0, 0), (0, 0)))
-            sel = jnp.pad(sel, ((0, pad), (0, 0)))
-        gen = self._persistent_gen(B, mode, False)
-        if self.mesh is not None:
-            out = gen(params, jnp.array([t0, T, self.sampling_seed],
-                                        jnp.int32),
-                      cond, sel, self._ring, self._y_state)
-        else:
-            out = gen(params, np.array([t0]), cond, sel, self._ring,
-                      self._y_state, n_valid=T, seed=self.sampling_seed)
-        y, self._ring, self._y_state = out[0], out[1], out[2]
-        return y[:T]
 
     def run_chunks(self, chunk_size: int, consume: Callable, num_samples: int,
                    batch_size: int, mode: str = "sample") -> np.ndarray:
