@@ -38,6 +38,7 @@ struct WaveNetCtx {
   std::vector<int> y_prev, y_cur;
   long t = 0;
   int batch_alloc = 0;
+  int silence_bin = 128;
 };
 
 // y[out_n] += x[in_k] @ W[in_k, out_n]
@@ -97,6 +98,7 @@ void wn_set_weights(void* p, const float* embed, const float* dil_w,
 }
 
 void wn_reset(void* p, int batch, int silence_bin) {
+  ((WaveNetCtx*)p)->silence_bin = silence_bin;
   auto* c = static_cast<WaveNetCtx*>(p);
   c->batch_alloc = batch;
   c->ring.assign((size_t)c->ring_size * batch * c->R, 0.f);
@@ -168,13 +170,18 @@ void wn_run(void* p, int T, int B, const float* cond, const float* sel,
         for (int j = 0; j < A; j++) { prob[j] = std::exp(za[j] - m); sum += prob[j]; }
         float s_sel = sel[(size_t)s * B + b];
         // first bin whose cumulative probability exceeds the selector;
-        // fallback 128 on scan failure (softmax.cuh:155 semantics)
-        float cum = 0.f;
-        y = 128;
-        for (int j = 0; j < A; j++) {
-          cum += prob[j] / sum;
-          if (s_sel < cum) { y = j; break; }
-        }
+        // fallback to the configured silence bin on scan failure
+        // (softmax.cuh:155 semantics; matches golden.select_sample).
+        // The prefix sum uses the FIXED Hillis-Steele association tree —
+        // the identical sequence of fp32 adds as the numpy golden and the
+        // Pallas kernel, so sampled integers are bit-identical (see
+        // models/golden.py::cumsum_fixed_tree).
+        for (int j = 0; j < A; j++) prob[j] = prob[j] / sum;
+        for (int k = 1; k < A; k <<= 1)
+          for (int j = A - 1; j >= k; j--) prob[j] += prob[j - k];
+        y = c->silence_bin;
+        for (int j = 0; j < A; j++)
+          if (s_sel < prob[j]) { y = j; break; }
       }
       c->y_prev[b] = c->y_cur[b];
       c->y_cur[b] = y;

@@ -315,7 +315,6 @@ class WaveNetInfer:
         return the DEVICE y array [T, B] (not fetched) — enables async
         pipelining of host readout against the next chunk's compute."""
         assert self._cond is not None, "set_inputs must be called first"
-        cfg = self.cfg
         B = batch_size
         sel = self._selectors[init_sample:init_sample + num_samples, :B]
         T = sel.shape[0]
@@ -323,15 +322,19 @@ class WaveNetInfer:
 
         if init_sample == 0:
             self._reset_state(B)
-        if self._cond_pre is None:
-            # fold the dilated-conv bias into the conditioning stream once
-            # (removes one VPU add per layer per sample in the kernel;
-            # float-exact: elementwise add is exactly rounded)
-            self._cond_pre = (self._cond
-                              + self._device_params()["dil_b"][None, :, None, :])
         sl = slice(init_sample, init_sample + num_samples)
-        return self._dispatch(init_sample, self._cond[sl, :, :B],
-                              self._cond_pre[sl, :, :B], sel, B, mode,
+        # slice only the stream the resolved impl consumes: the scan path
+        # reads raw cond; the kernel reads the dil_b-prefolded copy (built
+        # once per weights — float-exact, removes a per-layer VPU add)
+        if self._resolve_impl(B) == Impl.MANYBLOCK:
+            cond, cond_pre = self._cond[sl, :, :B], None
+        else:
+            if self._cond_pre is None:
+                self._cond_pre = (self._cond
+                                  + self._device_params()["dil_b"][None, :,
+                                                                   None, :])
+            cond, cond_pre = None, self._cond_pre[sl, :, :B]
+        return self._dispatch(init_sample, cond, cond_pre, sel, B, mode,
                               dump_activations)
 
     def _dispatch(self, t0: int, cond, cond_pre, sel, B: int, mode: str,
@@ -430,7 +433,9 @@ class WaveNetInfer:
                            P(None, None, "data", None))
         sel = self._shard(jnp.asarray(selectors_chunk, jnp.float32),
                           P(None, "data"))
-        cond_pre = cond + self._device_params()["dil_b"][None, :, None, :]
+        cond_pre = None
+        if self._resolve_impl(B) != Impl.MANYBLOCK:
+            cond_pre = cond + self._device_params()["dil_b"][None, :, None, :]
         t0 = self._stream_t
         self._stream_t += T
         y = self._dispatch(t0, cond, cond_pre, sel, B, mode, False)

@@ -47,16 +47,37 @@ def _softmax(x):
     return e / np.sum(e, axis=-1, keepdims=True)
 
 
+def cumsum_fixed_tree(p: np.ndarray) -> np.ndarray:
+    """Inclusive prefix sum with a FIXED association tree (Hillis–Steele:
+    log2(A) rounds of shift-and-add).  Every implementation — this numpy
+    golden, the C++ oracle, the XLA scan generator, and the Pallas kernel —
+    performs the IDENTICAL sequence of fp32 adds, so the prefix sums are
+    bit-identical across platforms.  A sequential np.cumsum vs. an MXU
+    matmul-with-triangular-ones differ in summation order by ~1 ulp, which
+    flips a sampled integer whenever a selector lands inside the gap
+    (~3e-5/sample) — a probabilistic, scale-dependent violation of the
+    exact-match contract this formulation eliminates."""
+    x = np.asarray(p, np.float32)
+    A = x.shape[-1]
+    k = 1
+    while k < A:
+        sh = np.zeros_like(x)
+        sh[..., k:] = x[..., :-k]
+        x = x + sh
+        k *= 2
+    return x
+
+
 def select_sample(p: np.ndarray, sel: np.ndarray, fallback: int) -> np.ndarray:
     """Inverse-CDF draw: first bin where sel < cumsum(p), mirroring
     `nv_wavenet_reference.cpp:106-121` with the CUDA kernel's fallback value
     when the scan fails (`softmax.cuh:155`).
 
     p: [B, A] normalized probabilities; sel: [B] uniforms in [0, 1).
-    Implemented as count of cumsum entries <= sel (= index of first bin whose
-    cumulative mass exceeds sel) — the same formulation the compute paths use.
-    """
-    cum = np.cumsum(p.astype(np.float32), axis=-1)
+    Implemented as count of fixed-tree-cumsum entries <= sel (= index of the
+    first bin whose cumulative mass exceeds sel) — the same formulation and
+    float association all compute paths use."""
+    cum = cumsum_fixed_tree(p)
     idx = np.sum(cum <= sel[:, None], axis=-1)
     return np.where(idx < p.shape[-1], idx, fallback).astype(np.int32)
 

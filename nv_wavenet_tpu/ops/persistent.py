@@ -81,12 +81,6 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
 
     t_base = t0_ref[0] + i * chunk
 
-    # Cumulative-sum matrix for the inverse-CDF selection: strictly-lower
-    # triangular + diagonal ones -> cumsum via one MXU matmul (deterministic
-    # summation order, faster than a lane-wise scan for A=256).
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (A, A), 0)
-           <= jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)).astype(jnp.float32)
-
     def sample_step(j, _):
         t = t_base + j
         # mask padded tail steps (T was padded to a chunk multiple): state and
@@ -180,7 +174,19 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
         if mode == "argmax":
             y = jnp.argmax(za, axis=-1).astype(jnp.int32)
         else:
-            cum = _dot(p, tri, precision)                     # [B, A] cumsum
+            # inverse-CDF selection over the FIXED-TREE prefix sum
+            # (Hillis-Steele shift-and-add): the identical fp32 association
+            # as the numpy golden / C++ oracle / scan generator, so sampled
+            # integers match bit-for-bit by construction (a tri-matmul's
+            # MXU summation order differs by ~1 ulp and flips a sample
+            # whenever a selector lands in the gap); also 8 VPU adds
+            # instead of a 24-pass matmul on the critical path
+            cum = p
+            k = 1
+            while k < A:
+                cum = cum + jnp.concatenate(
+                    [jnp.zeros((B, k), jnp.float32), cum[:, :-k]], axis=-1)
+                k *= 2
             if mode == "prng":
                 # device-side sampling randomness (the cuRAND analog): reseed
                 # per absolute sample index so draws are independent of the
@@ -277,8 +283,7 @@ def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
     y_state = 2 * 2 * _padded_bytes((2, B), 4)           # in + out windows
     work = _padded_bytes((B, 8 * R + 4 * S + 8 * A), 4)  # rough live set
     spill = 4 * 1024 * 1024                              # register spills
-    tri = _padded_bytes((A, A), 4)
-    return weights + ring + cond + sel + y + y_state + work + spill + tri
+    return weights + ring + cond + sel + y + y_state + work + spill
 
 
 def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,

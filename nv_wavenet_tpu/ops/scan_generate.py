@@ -75,11 +75,24 @@ def embed_lookup(embed: jax.Array, y_prev: jax.Array, y_cur: jax.Array,
     return jnp.tanh(x) if tanh_embed else x
 
 
+def cumsum_fixed_tree(p: jax.Array) -> jax.Array:
+    """Hillis–Steele inclusive scan with the same fixed fp32 association
+    tree as models/golden.cumsum_fixed_tree — bit-identical prefix sums
+    across numpy / C++ / XLA / Pallas (see that docstring)."""
+    A = p.shape[-1]
+    x = p
+    k = 1
+    while k < A:
+        x = x + jnp.pad(x[..., :-k], [(0, 0)] * (x.ndim - 1) + [(k, 0)])
+        k *= 2
+    return x
+
+
 def select_from_probs(p: jax.Array, sel: jax.Array, fallback: int) -> jax.Array:
     """First bin whose cumulative probability exceeds sel; fallback on scan
     failure (mirrors `nv_wavenet_reference.cpp:106-121` + `softmax.cuh:155`)."""
     A = p.shape[-1]
-    cum = jnp.cumsum(p, axis=-1)
+    cum = cumsum_fixed_tree(p)
     idx = jnp.sum((cum <= sel[:, None]).astype(jnp.int32), axis=-1)
     return jnp.where(idx < A, idx, fallback).astype(jnp.int32)
 

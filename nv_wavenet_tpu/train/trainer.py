@@ -168,8 +168,7 @@ def make_sharded_train_step(mesh: Mesh):
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, iteration: int):
     import orbax.checkpoint as ocp
-    path = ocp.test_utils.erase_and_create_empty(
-        f"{ckpt_dir}/it_{iteration}") if False else f"{ckpt_dir}/it_{iteration}"
+    path = f"{ckpt_dir}/it_{iteration}"
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, {"params": state.params,
                       "opt_state": state.opt_state,

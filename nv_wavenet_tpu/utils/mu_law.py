@@ -20,7 +20,7 @@ def mu_law_encode_np(x: np.ndarray, mu_quantization: int = 256) -> np.ndarray:
 
 
 def mu_law_decode_np(x: np.ndarray, mu_quantization: int = 256) -> np.ndarray:
-    assert np.max(x) <= mu_quantization and np.min(x) >= 0
+    assert np.max(x) < mu_quantization and np.min(x) >= 0
     mu = mu_quantization - 1.0
     signal = 2 * (x / mu) - 1
     magnitude = (1.0 / mu) * ((1 + mu) ** np.abs(signal) - 1)

@@ -56,7 +56,7 @@ class StepCost:
     def latency_floor_khz(self, stage_ns: float = 200.0) -> float:
         """The binding bound for this workload: every sample is a chain of
         `critical_path_matmuls` DEPENDENT small matmuls (embed -> L x
-        (dilated, residual) -> Zs -> Za -> cumsum), each costing roughly one
+        (dilated, residual) -> Zs -> Za), each costing roughly one
         MXU occupancy+drain (~200 ns measured for fp32 HIGHEST at B<=64 on
         v5e — the 6-pass fp32 decomposition and the gate/softmax VPU work
         hide inside it).  Batch does not change this (rows < 128 ride along
@@ -71,13 +71,14 @@ def step_cost(cfg: WaveNetConfig) -> StepCost:
     flops = 2.0 * (2 * A * R              # embedding one-hot GEMM
                    + L * (2 * R * 2 * R)  # dilated conv
                    + L * (R * (R + S))    # residual+skip
-                   + S * A + A * A        # output stack
-                   + A * A)               # cumsum tri-matmul (sampling)
+                   + S * A + A * A)       # output stack
+    # sampling cumsum is log2(A) VPU shifted adds (fixed-tree scan), not a
+    # matmul — off the MXU critical path
     return StepCost(
         flops_per_sample_per_utt=flops,
         weight_bytes=cfg.weight_bytes(4),
         cond_bytes_per_sample_per_utt=L * 2 * R * 4,
-        critical_path_matmuls=2 * L + 4,
+        critical_path_matmuls=2 * L + 3,
     )
 
 

@@ -106,24 +106,27 @@ def test_select_scan_failure_falls_back_to_silence(formulation):
     assert formulation(p, sel, fallback)[0] == fallback
 
 
-def test_cumsum_via_triangular_matmul_matches_sequential():
-    """The Pallas kernel computes cumsum as p @ upper-triangular-ones on the
-    MXU; selection indices must agree with the golden model's sequential
-    np.cumsum (exact-match contract)."""
+def test_cumsum_fixed_tree_bit_identical_across_impls():
+    """All implementations share ONE prefix-sum float association (the
+    Hillis-Steele fixed tree), so the cumulative sums are bit-identical —
+    the structural guarantee behind the exact-integer-match contract (a
+    sequential cumsum vs. a matmul tree differ by ~1 ulp, flipping a sample
+    whenever a selector lands in the gap)."""
+    from nv_wavenet_tpu.models.golden import cumsum_fixed_tree as cum_np
+    from nv_wavenet_tpu.ops.scan_generate import cumsum_fixed_tree as cum_jnp
+
     rng = np.random.RandomState(4)
-    B, A = 16, 256
-    za = rng.uniform(-4, 4, (B, A)).astype(np.float32)
-    p = _softmax(za)
-    tri = (np.arange(A)[:, None] <= np.arange(A)[None, :]).astype(np.float32)
-    cum_mxu = np.asarray(jnp.dot(jnp.asarray(p), jnp.asarray(tri),
-                                 precision=HI,
-                                 preferred_element_type=jnp.float32))
-    cum_seq = np.cumsum(p, axis=-1)
-    np.testing.assert_allclose(cum_mxu, cum_seq, rtol=1e-6, atol=1e-7)
-    sel = rng.uniform(0, 1, B).astype(np.float32)
-    idx_mxu = np.sum(cum_mxu <= sel[:, None], axis=-1)
-    idx_seq = np.sum(cum_seq <= sel[:, None], axis=-1)
-    assert (idx_mxu == idx_seq).all()
+    for A in (16, 256, 1024):
+        p = _softmax(rng.uniform(-4, 4, (16, A)).astype(np.float32))
+        a = cum_np(p)
+        b = np.asarray(cum_jnp(jnp.asarray(p)))
+        assert (a == b).all(), f"A={A}: numpy vs jnp fixed-tree cumsum differ"
+        # prefix property: close to the sequential sum, ends near 1
+        np.testing.assert_allclose(a, np.cumsum(p, axis=-1), rtol=1e-5,
+                                   atol=1e-6)
+        # odd lane count also folds correctly
+    p = _softmax(rng.uniform(-4, 4, (4, 37)).astype(np.float32))
+    assert (cum_np(p) == np.asarray(cum_jnp(jnp.asarray(p)))).all()
 
 
 def test_gated_activation_range():

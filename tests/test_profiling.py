@@ -32,7 +32,7 @@ def test_latency_floor_brackets_measured_rate():
     (~100 kHz, BASELINE.md) must sit between ~60% and 100% of the
     sequential-matmul-chain floor; the FLOP roofline sits far above both."""
     c = step_cost(FLAGSHIP_CONFIG)
-    assert c.critical_path_matmuls == 44
+    assert c.critical_path_matmuls == 43
     floor = c.latency_floor_khz()
     assert 90 < floor < 150
     assert c.roofline_khz(batch=16) > 5 * floor

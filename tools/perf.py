@@ -17,7 +17,8 @@ Flags (reference mapping):
   -m mode            auto | persistent | manyblock (single/dual map to
                       persistent; reference `Implementation` enum parity)
   -p precision       32 | 16 (16 = bfloat16 weights, fp32 accumulation)
-  -t iterations      timing repetitions (default 3; best-of reported)
+  -t iterations      timing repetitions (default 3; steady-state
+                      average over back-to-back runs reported)
 
 Output: the reference's `Sample rate: X kHz` line plus a JSON record.
 """
@@ -99,11 +100,11 @@ def main():
              for _ in range(args.iters)]
     for tl in tails:
         np.asarray(tl)
-    best = args.iters * T / (time.time() - t0) / 1e3
+    rate = args.iters * T / (time.time() - t0) / 1e3
 
-    print(f"Sample rate: {best:.2f} kHz", flush=True)
-    print(json.dumps({"khz_per_utterance": round(best, 2),
-                      "khz_total": round(best * args.batch, 1),
+    print(f"Sample rate: {rate:.2f} kHz", flush=True)
+    print(json.dumps({"khz_per_utterance": round(rate, 2),
+                      "khz_total": round(rate * args.batch, 1),
                       "batch": args.batch, "mode": args.mode,
                       "precision": args.precision}), flush=True)
 

@@ -36,7 +36,7 @@ def measure(cfg, batch, chunk, T, mode="sample", wdt=jnp.float32,
     for _ in range(3):
         t0 = time.time()
         out = gen(params, np.array([0]), cond, sel, ring, ys)
-        np.asarray(out[0])
+        np.asarray(out[0][-1])  # tail fetch: forces the run, tiny transfer
         best = min(best, time.time() - t0)
     us = best / T * 1e6
     print(f"{label:44s} L={cfg.num_layers:2d} B={batch:3d} chunk={chunk:4d} "

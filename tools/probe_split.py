@@ -29,6 +29,11 @@ def measure(cfg, batch, chunk, T, label, iters=3, fetch_all=False, **kw):
     sel = jax.random.uniform(k2, (T, batch), jnp.float32)
     ring = persistent.init_ring(cfg, batch)
     ys = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
+    if kw.get("prefold_cond"):
+        # the kernel skips its dil_b add under prefold; fold it here so the
+        # variant computes the same network
+        dil_b = params["dil_b"]
+        cond = cond + dil_b[None, :, None, :]
     t0 = time.time()
     gen = jax.jit(persistent.make_persistent_generator(cfg, batch, chunk, **kw))
     y_dev = gen(params, np.array([0]), cond, sel, ring, ys)[0]

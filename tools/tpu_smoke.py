@@ -53,11 +53,12 @@ def main():
     sel2 = rng.uniform(0, 1, (samples2, batch)).astype(np.float32)
     gen2 = jax.jit(persistent.make_persistent_generator(cfg, batch, 64))
     cond2j, sel2j = jnp.asarray(cond2), jnp.asarray(sel2)
-    out = gen2(params, np.array([0]), cond2j, sel2j, ring, ys)
-    jax.block_until_ready(out)
+    np.asarray(gen2(params, np.array([0]), cond2j, sel2j, ring, ys)[0][-1])
     t0 = time.time()
     out = gen2(params, np.array([0]), cond2j, sel2j, ring, ys)
-    jax.block_until_ready(out)
+    # tail-slice fetch forces the whole run; block_until_ready does not
+    # reliably wait over the tunnel and a full-y fetch is bandwidth-bound
+    np.asarray(out[0][-1])
     dt = time.time() - t0
     print(f"{samples2} samples in {dt*1e3:.1f} ms -> {samples2/dt/1e3:.2f} kHz")
 
