@@ -83,6 +83,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=8192)
     ap.add_argument("--skip-golden", action="store_true")
+    # 512-sample exact-match window: long enough that any float-association
+    # divergence between implementations would be caught (~8k draws/config)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -91,7 +93,7 @@ def main():
     from nv_wavenet_tpu.engine.wavenet_infer import Impl
 
     T = args.samples
-    g = 0 if args.skip_golden else 16
+    g = 0 if args.skip_golden else 512
     recs = []
     recs.append(run_config(
         "1_20L_32R_128S_fp32_b1",
