@@ -72,6 +72,10 @@ def create_model(wavenet_config: Dict[str, Any]) -> WaveNetTrain:
         n_cond_channels=wavenet_config.get("n_cond_channels", 80),
         upsamp_window=wavenet_config.get("upsamp_window", 800),
         upsamp_stride=wavenet_config.get("upsamp_stride", 200),
+        # "highest" = exact fp32 (the train<->infer exact-equivalence
+        # contract); "default" = single-pass bf16-input MXU matmuls for
+        # faster training at reduced precision
+        precision=wavenet_config.get("precision", "highest"),
     )
 
 

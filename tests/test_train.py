@@ -188,3 +188,15 @@ def test_prefetch_propagates_worker_errors():
     next(it)
     with pytest.raises(RuntimeError, match="boom"):
         next(it)
+
+
+def test_precision_option_plumbs_through_config():
+    cfg = dict(TINY)
+    cfg["precision"] = "default"
+    model = trainer.create_model(cfg)
+    assert model.precision == "default"
+    mel, audio = tiny_batch()
+    state = trainer.create_train_state(model, trainer.TrainConfig(), mel, audio)
+    _, loss = jax.jit(trainer.train_step)(state, jnp.asarray(mel),
+                                          jnp.asarray(audio))
+    assert np.isfinite(float(loss))
