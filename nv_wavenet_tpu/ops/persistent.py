@@ -10,9 +10,11 @@ kernel that runs the ENTIRE generation:
   * all weights are VMEM-resident for the whole call (loaded once — the
     analog of the persistent variant's weights-in-registers,
     `nv_wavenet_persistent.cuh:96-166`),
-  * the per-layer dilation FIFOs (packed ring buffer) live in a VMEM output
-    buffer aliased to an input, so state survives chunked calls
-    (replaces the (maxD+1)-deep global ring, `nv_wavenet.cuh:101-102,335`),
+  * the per-layer dilation FIFOs (lane-packed ring buffer: same-dilation
+    layers share 128-lane rows) are carried in HBM between calls and DMA'd
+    through one VMEM scratch copy for the duration of the call, so state
+    survives chunked calls (replaces the (maxD+1)-deep global ring,
+    `nv_wavenet.cuh:101-102,335`),
   * the sequential sample loop is a `fori_loop` inside the kernel — no host
     round trip and no kernel relaunch per sample,
   * the Pallas grid iterates over conditioning CHUNKS: the BlockSpec
@@ -32,7 +34,7 @@ Layouts: activations [B, C] (batch on sublanes, channels on lanes); weights
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -226,16 +228,6 @@ def init_ring(cfg: WaveNetConfig, batch: int, dtype=jnp.float32) -> jax.Array:
     (`nv_wavenet_reference.cpp:287`)."""
     rows, pack, _, _ = cfg.packed_ring_plan()
     return jnp.zeros((rows, batch, pack * cfg.R), dtype)
-
-
-class PersistentPlan(NamedTuple):
-    cfg: WaveNetConfig
-    batch: int
-    chunk: int
-    mode: str
-    dump: bool
-    weight_dtype: jnp.dtype
-    interpret: bool
 
 
 def _padded_bytes(shape, dtype_bytes: int) -> int:
