@@ -205,3 +205,24 @@ def test_streaming_feed_matches_full_run():
             off += n
         y = np.concatenate(outs, axis=1)
         assert np.array_equal(y, y_gold), impl
+
+
+def test_device_resident_inputs_and_weights():
+    """Parity with the reference's inputsFromDevice/weightsFromDevice toggles
+    (`nv_wavenet_test.cu:359-365`): staging inputs as device (jax) arrays
+    must produce the identical sequence as host numpy upload."""
+    import jax.numpy as jnp
+
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    ref_w, cond, sel = make_case(cfg, 2, 8, seed=71)
+    a = make_engine(cfg, 2)
+    a.set_reference_weights(ref_w)
+    a.set_inputs(cond, sel)
+    y_host = a.run(8, 2)
+
+    b = make_engine(cfg, 2)
+    b.set_reference_weights({k: (jnp.asarray(v) if hasattr(v, "shape")
+                                 else v) for k, v in ref_w.items()})
+    b.set_inputs(jnp.asarray(cond), jnp.asarray(sel))
+    y_dev = b.run(8, 2)
+    assert np.array_equal(y_host, y_dev)
