@@ -1,0 +1,67 @@
+"""Randomized cross-implementation equivalence fuzz: seeded random
+geometries (L, R, S, A, max_dilation, batch, T, tanh_embed) driven through
+the numpy golden, the XLA scan generator, the interpret-mode Pallas kernel
+and (where built) the native C++ oracle — every sampled integer must match
+exactly.  Broadens the fixed test matrix the same way the reference's
+srand-seeded runs do (`nv_wavenet_test.cu:343-394`), but over geometry too.
+"""
+import numpy as np
+import pytest
+
+from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+from nv_wavenet_tpu.models import params as params_lib
+from nv_wavenet_tpu.models.golden import WaveNetGolden
+from nv_wavenet_tpu.utils import native
+
+
+def random_geometry(rng):
+    R = int(rng.choice([32, 64, 128]))
+    return dict(
+        num_layers=int(rng.randint(1, 9)),
+        R=R,
+        S=int(rng.choice([64, 128, 256])),
+        A=int(rng.choice([256, 512])),
+        max_dilation=int(rng.choice([1, 2, 4, 8])),
+        tanh_embed=bool(rng.randint(2)),
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_geometry_exact_equivalence(seed):
+    rng = np.random.RandomState(1000 + seed)
+    cfg = WaveNetConfig(**random_geometry(rng))
+    B = int(rng.randint(1, 5))
+    T = int(rng.randint(3, 14))
+    ref_w = params_lib.random_reference_weights(cfg, seed=2000 + seed)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+
+    golden = WaveNetGolden(cfg, B, T)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_gold = golden.run(T, B)
+
+    for impl in (Impl.PERSISTENT, Impl.MANYBLOCK):
+        eng = WaveNetInfer(num_layers=cfg.num_layers,
+                           max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                           A=cfg.A, max_batch=B, implementation=impl,
+                           tanh_embed=cfg.tanh_embed, chunk_size=8,
+                           interpret=True)
+        eng.set_reference_weights(ref_w)
+        eng.set_inputs(cond, sel)
+        # ragged split exercises carried state at a random boundary
+        cut = int(rng.randint(1, T))
+        ya = eng.run_partial(0, cut, B)
+        yb = eng.run_partial(cut, T - cut, B)
+        y = np.concatenate([ya, yb], axis=1)
+        assert np.array_equal(y, y_gold), (
+            f"seed {seed} cfg {cfg} impl {impl} mismatch "
+            f"(agree {np.mean(y == y_gold):.3f})")
+
+    if native.available():
+        nat = native.NativeGolden(cfg)
+        nat.set_canonical_params(params_lib.to_canonical(ref_w, cfg))
+        y_nat = nat.run(cond, sel)
+        assert np.array_equal(y_nat, y_gold), f"seed {seed} C++ oracle mismatch"
