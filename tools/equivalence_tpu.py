@@ -103,6 +103,11 @@ def main():
                                         max_dilation=D), Impl.PERSISTENT),
         ("64R_256S_1024A", WaveNetConfig(num_layers=L, R=64, S=256, A=1024,
                                          max_dilation=D), Impl.PERSISTENT),
+        # beyond the reference: its CUDA kernels reject R=256 outright
+        # ("Only R=32,64 and 128 currently supported", nv_wavenet_perf.cu);
+        # VMEM has no register-file cliff, so the same kernel just works
+        ("256R_256S_256A", WaveNetConfig(num_layers=L, R=256, S=256, A=256,
+                                         max_dilation=D), Impl.PERSISTENT),
     ]
     results = [run_case(n, c, i) for n, c, i in matrix]
     print(f"{sum(results)}/{len(results)} configs passed", flush=True)
