@@ -62,10 +62,21 @@ class NVWaveNet:
         previous sample); res_weights: list of L-1 [R, R] (a zero layer is
         appended, `nv_wavenet.py:139-141`); skip_weights: list of [S, R].
         """
-        embedding_prev = np.asarray(embedding_prev, np.float32)
-        embedding_curr = np.asarray(embedding_curr, np.float32)
-        conv_out_weight = np.asarray(conv_out_weight, np.float32)
-        conv_end_weight = np.asarray(conv_end_weight, np.float32)
+        def _w(x):
+            # reference Conv1d weights carry a trailing kernel dim of 1
+            # ([out, in, 1]); the reference wrapper squeezes it in
+            # column_major (`nv_wavenet.py:38-41`) — accept both forms
+            x = np.asarray(x, np.float32)
+            if x.ndim == 3 and x.shape[-1] == 1:
+                x = x[:, :, 0]
+            return x
+
+        embedding_prev = _w(embedding_prev)
+        embedding_curr = _w(embedding_curr)
+        conv_out_weight = _w(conv_out_weight)
+        conv_end_weight = _w(conv_end_weight)
+        res_weights = [_w(w) for w in res_weights]
+        skip_weights = [_w(w) for w in skip_weights]
         A, R = embedding_curr.shape
         S = conv_out_weight.shape[1]
         assert conv_out_weight.shape[0] == A, (
@@ -81,6 +92,7 @@ class NVWaveNet:
         self.use_embed_tanh = bool(use_embed_tanh)
         self._engine_kwargs = engine_kwargs
         self._engines: Dict = {}
+        self._infer_calls = 0  # advances the default selector seed per call
 
         # reference-format weight staging (engine setters take math shapes)
         self._layers = []
@@ -123,10 +135,15 @@ class NVWaveNet:
     def infer(self, cond_input: np.ndarray,
               implementation: Impl = Impl.AUTO,
               selectors: Optional[np.ndarray] = None,
-              mode: str = "sample") -> np.ndarray:
+              mode: str = "sample",
+              seed: Optional[int] = None) -> np.ndarray:
         """cond_input: channels x batch x layers x samples (2R, B, L, T) —
         the reference layout (`nv_wavenet.py:172-181`).  Returns int samples
-        [batch, sample_count]."""
+        [batch, sample_count].
+
+        When selectors is None, each call draws a FRESH selector stream
+        (advancing an internal counter, like the reference's per-call host
+        rand(); pass `seed` for reproducibility)."""
         C, B, L, T = cond_input.shape
         assert (C, L) == (2 * self.R, self.num_layers), (
             f"cond_input is channels x batch x layers x samples; channels & "
@@ -134,5 +151,8 @@ class NVWaveNet:
         eng = self._engine(B)
         eng.implementation = implementation
         cond = np.ascontiguousarray(np.transpose(cond_input, (3, 2, 1, 0)))
-        eng.set_inputs(cond.astype(np.float32), selectors)
+        if seed is None:
+            seed = self._infer_calls
+            self._infer_calls += 1
+        eng.set_inputs(cond.astype(np.float32), selectors, seed=seed)
         return eng.run(T, B, mode=mode)

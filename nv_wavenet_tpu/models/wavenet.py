@@ -128,6 +128,10 @@ class WaveNetTrain(nn.Module):
         conv for every layer's conditioning at once
         (`pytorch/wavenet.py:105-115`)."""
         up = self.upsample(mel)          # [B, T_up, n_cond]
+        assert up.shape[1] >= length, (
+            f"upsampled conditioning covers {up.shape[1]} samples < audio "
+            f"length {length} (mel too short for this segment; the reference "
+            f"asserts the same, `pytorch/wavenet.py:110`)")
         up = up[:, :length]
         cond = self.cond_layer(up)       # [B, T, 2R*L]
         B, T, _ = cond.shape

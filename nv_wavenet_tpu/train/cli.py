@@ -33,21 +33,11 @@ def main(argv=None):
     from nv_wavenet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from nv_wavenet_tpu.train import trainer
-    from nv_wavenet_tpu.train.data import (DataConfig, Mel2Samp, load_wav,
-                                           synthetic_clips)
+    from nv_wavenet_tpu.train.data import (Mel2Samp, data_config_from_json,
+                                           load_wav, synthetic_clips)
     from nv_wavenet_tpu.utils.mu_law import MAX_WAV_VALUE  # noqa: F401
 
-    data_cfg = DataConfig(
-        segment_length=data_c.get("segment_length", 16000),
-        mu_quantization=data_c.get("mu_quantization", 256),
-        filter_length=data_c.get("filter_length", 800),
-        hop_length=data_c.get("hop_length", 200),
-        win_length=data_c.get("win_length", 800),
-        sampling_rate=data_c.get("sampling_rate", 16000),
-        n_mel_channels=data_c.get("n_mel_channels", 80),
-        mel_fmin=data_c.get("mel_fmin", 0.0),
-        mel_fmax=data_c.get("mel_fmax", 8000.0),
-    )
+    data_cfg = data_config_from_json(data_c)
     if data_c.get("synthetic") or not data_c.get("training_files"):
         clips = synthetic_clips(n_clips=4, length=4 * data_cfg.segment_length)
     else:

@@ -35,6 +35,23 @@ class DataConfig:
     mel_fmax: float = 8000.0
 
 
+def data_config_from_json(d: dict) -> DataConfig:
+    """Build a DataConfig from a config.json `data_config` section — the ONE
+    mapping used by every CLI (train, mel2samp, inference, eval), so no tool
+    silently drops a field like sampling_rate or mel_fmax."""
+    return DataConfig(
+        segment_length=d.get("segment_length", 16000),
+        mu_quantization=d.get("mu_quantization", 256),
+        filter_length=d.get("filter_length", 800),
+        hop_length=d.get("hop_length", 200),
+        win_length=d.get("win_length", 800),
+        sampling_rate=d.get("sampling_rate", 16000),
+        n_mel_channels=d.get("n_mel_channels", 80),
+        mel_fmin=d.get("mel_fmin", 0.0),
+        mel_fmax=d.get("mel_fmax", 8000.0),
+    )
+
+
 def _hz_to_mel(f):
     """Slaney mel scale (linear below 1 kHz, log above)."""
     f = np.asarray(f, np.float64)
@@ -81,6 +98,9 @@ def stft_magnitude(audio: np.ndarray, cfg: DataConfig) -> np.ndarray:
     """Centered hann-window STFT magnitudes: [frames, n_fft//2+1]."""
     n_fft, hop, win = cfg.filter_length, cfg.hop_length, cfg.win_length
     pad = n_fft // 2
+    # numpy "reflect" handles pad > len via multiple reflections (the native
+    # C++ pipeline folds indices identically); only the degenerate 1-D case
+    # needs no guard — np.pad reflects a singleton as a constant
     x = np.pad(audio, (pad, pad), mode="reflect")
     window = np.hanning(win + 1)[:-1].astype(np.float32)
     if win < n_fft:
@@ -163,6 +183,8 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
         data = data.astype(np.float32) / 2147483648.0
     else:
         data = data.astype(np.float32)
+    if data.ndim == 2:  # stereo/multichannel: downmix to mono
+        data = data.mean(axis=1).astype(np.float32)
     return data, sr
 
 

@@ -48,7 +48,7 @@ def main():
     from nv_wavenet_tpu.models import wavenet as wavenet_lib
     from nv_wavenet_tpu.ops import scoring
     from nv_wavenet_tpu.train import trainer
-    from nv_wavenet_tpu.train.data import (DataConfig, load_wav,
+    from nv_wavenet_tpu.train.data import (load_wav,
                                            mel_spectrogram, synthetic_clips,
                                            write_wav)
     from nv_wavenet_tpu.utils.mu_law import mu_law_decode_np, mu_law_encode_np
@@ -56,12 +56,8 @@ def main():
     cfgj = json.load(open(args.config))
     model = trainer.create_model(cfgj["wavenet_config"])
     dc = cfgj["data_config"]
-    data_cfg = DataConfig(
-        filter_length=dc.get("filter_length", 800),
-        hop_length=dc.get("hop_length", 200),
-        win_length=dc.get("win_length", 800),
-        sampling_rate=dc.get("sampling_rate", 16000),
-        n_mel_channels=dc.get("n_mel_channels", 80))
+    from nv_wavenet_tpu.train.data import data_config_from_json
+    data_cfg = data_config_from_json(dc)
     sr = data_cfg.sampling_rate
     n = int(args.seconds * sr)
     if args.wav:

@@ -49,7 +49,7 @@ def main():
     from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
     from nv_wavenet_tpu.models import wavenet as wavenet_lib
     from nv_wavenet_tpu.train import trainer
-    from nv_wavenet_tpu.train.data import (DataConfig, mel_spectrogram,
+    from nv_wavenet_tpu.train.data import (mel_spectrogram,
                                            synthetic_clips, write_wav)
     from nv_wavenet_tpu.utils.mu_law import mu_law_decode_np
 
@@ -58,13 +58,11 @@ def main():
     model = trainer.create_model(cfg_json["wavenet_config"])
     data_c = cfg_json["data_config"]
 
+    from nv_wavenet_tpu.train.data import data_config_from_json
+    data_cfg = data_config_from_json(data_c)
     if args.demo:
-        data_cfg = DataConfig(
-            filter_length=data_c.get("filter_length", 800),
-            hop_length=data_c.get("hop_length", 200),
-            win_length=data_c.get("win_length", 800),
-            n_mel_channels=data_c.get("n_mel_channels", 80))
-        clips = synthetic_clips(n_clips=args.batch_size, length=16000)
+        clips = synthetic_clips(n_clips=args.batch_size, length=16000,
+                                sr=data_cfg.sampling_rate)
         mels = [mel_spectrogram(c, data_cfg) for c in clips]
     else:
         assert args.files, "-f required unless --demo"
@@ -73,10 +71,8 @@ def main():
         mels = [np.load(p) for p in paths]
 
     # init or restore params
-    rng = jax.random.PRNGKey(0)
     mel0 = jnp.asarray(mels[0][None])
     audio0 = jnp.zeros((1, 64), jnp.int32)
-    params = model.init(rng, mel0, audio0)
     if args.checkpoint_dir:
         tcfg = trainer.TrainConfig()
         state = trainer.create_train_state(model, tcfg, np.asarray(mel0),
@@ -84,6 +80,8 @@ def main():
         state, _ = trainer.load_checkpoint(args.checkpoint_dir,
                                            args.iteration, state)
         params = state.params
+    else:
+        params = model.init(jax.random.PRNGKey(0), mel0, audio0)
 
     canon = wavenet_lib.export_canonical(params, model)
     cfg = wavenet_lib.config_of(model)
@@ -91,20 +89,29 @@ def main():
             "manyblock": Impl.MANYBLOCK}[args.mode]
 
     os.makedirs(args.output_dir, exist_ok=True)
-    sr = data_c.get("sampling_rate", 16000)
+    sr = data_cfg.sampling_rate
+    engines = {}  # one engine per batch size, reused across groups
     for lo in range(0, len(mels), args.batch_size):
         group = mels[lo:lo + args.batch_size]
         tmin = min(m.shape[0] for m in group)
+        if any(m.shape[0] != tmin for m in group):
+            print(f"WARNING: batch group {lo // args.batch_size} mixes mel "
+                  f"lengths {[m.shape[0] for m in group]}; truncating all to "
+                  f"{tmin} frames (sort mel_list by length to avoid this)",
+                  flush=True)
         mel_b = jnp.asarray(np.stack([m[:tmin] for m in group]))
         cond = np.asarray(model.apply(params, mel_b,
                                       method=wavenet_lib.WaveNetTrain.get_cond_input))
         T, B = cond.shape[0], cond.shape[2]
-        eng = WaveNetInfer(num_layers=cfg.num_layers,
-                           max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
-                           A=cfg.A, max_batch=B, implementation=impl,
-                           tanh_embed=cfg.tanh_embed,
-                           chunk_size=min(256, max(8, T // 8)))
-        eng.set_canonical_params(canon)
+        if B not in engines:
+            eng = WaveNetInfer(num_layers=cfg.num_layers,
+                               max_dilation=cfg.max_dilation, R=cfg.R,
+                               S=cfg.S, A=cfg.A, max_batch=B,
+                               implementation=impl,
+                               tanh_embed=cfg.tanh_embed, chunk_size=256)
+            eng.set_canonical_params(canon)
+            engines[B] = eng
+        eng = engines[B]
         eng.set_inputs(cond, selectors=None, seed=lo)
         t0 = time.time()
         y = eng.run(T, B, mode=args.sampling)
@@ -112,7 +119,7 @@ def main():
         print(f"batch {lo // args.batch_size}: {T} samples x {B} utt in "
               f"{dt:.2f}s ({T / dt / 1e3:.1f} kHz/utt)", flush=True)
         for j in range(B):
-            audio = mu_law_decode_np(y[j])
+            audio = mu_law_decode_np(y[j], cfg.A)
             path = os.path.join(args.output_dir, f"audio_{lo + j}.wav")
             write_wav(path, audio, sr)
             print("wrote", path, flush=True)

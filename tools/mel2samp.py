@@ -22,17 +22,12 @@ def main():
     ap.add_argument("-c", "--config", default="configs/config.json")
     args = ap.parse_args()
 
-    from nv_wavenet_tpu.train.data import DataConfig, load_wav, mel_spectrogram
+    from nv_wavenet_tpu.train.data import (data_config_from_json, load_wav,
+                                           mel_spectrogram)
 
     with open(args.config) as f:
         d = json.load(f)["data_config"]
-    cfg = DataConfig(filter_length=d.get("filter_length", 800),
-                     hop_length=d.get("hop_length", 200),
-                     win_length=d.get("win_length", 800),
-                     sampling_rate=d.get("sampling_rate", 16000),
-                     n_mel_channels=d.get("n_mel_channels", 80),
-                     mel_fmin=d.get("mel_fmin", 0.0),
-                     mel_fmax=d.get("mel_fmax", 8000.0))
+    cfg = data_config_from_json(d)
 
     os.makedirs(args.output_dir, exist_ok=True)
     with open(args.files) as f:
