@@ -164,10 +164,13 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
         za = _dot(zs.astype(compute_dtype), end_w[...].astype(compute_dtype),
                   precision) + end_b[0].astype(jnp.float32)
 
-        m = jnp.max(za, axis=-1, keepdims=True)
-        e = jnp.exp(za - m)
-        ssum = jnp.sum(e, axis=-1, keepdims=True)
-        p = e / ssum
+        if mode != "argmax" or dump:
+            # stable softmax: needed for sampling and for the dump-mode p
+            # getter; pure argmax decode reads za directly
+            m = jnp.max(za, axis=-1, keepdims=True)
+            e = jnp.exp(za - m)
+            ssum = jnp.sum(e, axis=-1, keepdims=True)
+            p = e / ssum
         if dump:
             dump_refs[2][...] = zs
             dump_refs[3][...] = za
