@@ -109,3 +109,35 @@ def test_mesh_engine_matches_golden_exactly():
     eng2.set_reference_weights(ref_w)
     eng2.set_inputs(cond, sel)
     assert np.array_equal(eng2.run(T, B), y_gold)
+
+
+def test_mesh_engine_streaming_feed():
+    """Streaming feed under a mesh: sharded incremental chunks must
+    reproduce the golden model exactly."""
+    from nv_wavenet_tpu.engine.wavenet_infer import WaveNetInfer
+    from nv_wavenet_tpu.models.golden import WaveNetGolden
+    from nv_wavenet_tpu.models import params as params_lib
+
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    B, T = 8, 10
+    ref_w = params_lib.random_reference_weights(cfg, seed=81)
+    rng = np.random.RandomState(8)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+    golden = WaveNetGolden(cfg, B, T)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_gold = golden.run(T, B)
+
+    eng = WaveNetInfer(num_layers=cfg.num_layers,
+                       max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                       A=cfg.A, max_batch=B, chunk_size=8, interpret=True,
+                       mesh=mesh_lib.data_mesh(4))
+    eng.set_reference_weights(ref_w)
+    eng.begin_stream(B)
+    outs, off = [], 0
+    for n in (4, 3, 3):
+        outs.append(eng.feed(cond[off:off + n], sel[off:off + n]))
+        off += n
+    assert np.array_equal(np.concatenate(outs, axis=1), y_gold)
