@@ -30,6 +30,7 @@ from typing import Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from nv_wavenet_tpu.config import WaveNetConfig
 from nv_wavenet_tpu.models import params as params_lib
@@ -112,6 +113,7 @@ class WaveNetInfer:
         self._y_state = None
         self._dumps = None
         self._gen_cache: Dict = {}
+        self._stream_t: Optional[int] = None  # begin_stream/feed cursor
 
     # ------------------------------------------------------------------
     # weight upload (reference setter parity, `nv_wavenet.cuh:396-415`)
@@ -192,7 +194,6 @@ class WaveNetInfer:
         # device-pointer input path, `nv_wavenet_conversions.cuh:38-42` /
         # `nv_wavenet_test.cu:359-365`); per-run slices then stay on device.
         # With a mesh, the utterance batch dim shards across chips.
-        from jax.sharding import PartitionSpec as P
         self._cond = self._shard(jnp.asarray(cond, jnp.float32),
                                  P(None, None, "data", None))
         self._cond_pre = None   # dil_b-prefolded copy, built lazily per weights
@@ -203,11 +204,9 @@ class WaveNetInfer:
     def _shard(self, x, spec):
         if self.mesh is None:
             return x
-        from jax.sharding import NamedSharding
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     def _reset_state(self, batch):
-        from jax.sharding import PartitionSpec as P
         cfg = self.cfg
         ring_dtype = (jnp.float32 if self.compute_dtype == jnp.float32
                       else self.compute_dtype)
@@ -228,6 +227,9 @@ class WaveNetInfer:
     # implementation selection
     # ------------------------------------------------------------------
 
+    def _weight_bytes(self) -> int:
+        return 2 if self.weight_dtype == jnp.bfloat16 else 4
+
     def _effective_chunk(self, batch) -> int:
         """Largest chunk <= chunk_size whose double-buffered conditioning
         stream + weights + ring fit the VMEM budget (the planning analog of
@@ -236,7 +238,7 @@ class WaveNetInfer:
         Clamped to a multiple of 8: the sel/y blocks are [chunk, B] and the
         TPU lowering requires the second-minor block dim to be a sublane
         multiple (interpret-mode tests don't enforce this; hardware does)."""
-        wb = 2 if self.weight_dtype == jnp.bfloat16 else 4
+        wb = self._weight_bytes()
         b_dev = self._per_device(batch)
         chunk = max(8, self.chunk_size - self.chunk_size % 8)
         while chunk > 8 and persistent.estimate_vmem_bytes(
@@ -254,7 +256,7 @@ class WaveNetInfer:
         if impl in (Impl.SINGLE_BLOCK, Impl.DUAL_BLOCK):
             return Impl.PERSISTENT
         if impl == Impl.AUTO:
-            wb = 2 if self.weight_dtype == jnp.bfloat16 else 4
+            wb = self._weight_bytes()
             est = persistent.estimate_vmem_bytes(self.cfg,
                                                  self._per_device(batch),
                                                  self._effective_chunk(batch), wb)
@@ -326,7 +328,8 @@ class WaveNetInfer:
         # slice only the stream the resolved impl consumes: the scan path
         # reads raw cond; the kernel reads the dil_b-prefolded copy (built
         # once per weights — float-exact, removes a per-layer VPU add)
-        if self._resolve_impl(B) == Impl.MANYBLOCK:
+        impl = self._resolve_impl(B)
+        if impl == Impl.MANYBLOCK:
             cond, cond_pre = self._cond[sl, :, :B], None
         else:
             if self._cond_pre is None:
@@ -334,18 +337,17 @@ class WaveNetInfer:
                                   + self._device_params()["dil_b"][None, :,
                                                                    None, :])
             cond, cond_pre = None, self._cond_pre[sl, :, :B]
-        return self._dispatch(init_sample, cond, cond_pre, sel, B, mode,
+        return self._dispatch(impl, init_sample, cond, cond_pre, sel, B, mode,
                               dump_activations)
 
-    def _dispatch(self, t0: int, cond, cond_pre, sel, B: int, mode: str,
-                  dump: bool):
+    def _dispatch(self, impl: Impl, t0: int, cond, cond_pre, sel, B: int,
+                  mode: str, dump: bool):
         """Run the resolved implementation over chunk-local device inputs
         (cond raw for the scan path, cond_pre = dil_b-prefolded for the
         kernel), carrying generation state; t0 is the absolute index of the
         first sample (ring addressing + PRNG reseeds).  Returns device y
         [T, B]."""
         T = sel.shape[0]
-        impl = self._resolve_impl(B)
         if impl == Impl.MANYBLOCK:
             st, y, aux = scan_generate.generate(
                 self._device_params(self.weight_dtype), self._scan_state,
@@ -414,7 +416,7 @@ class WaveNetInfer:
         align to the kernel chunk (in-kernel n_valid masking keeps carried
         state exact at ragged boundaries).  Equivalent to one full run over
         the concatenated conditioning."""
-        assert getattr(self, "_stream_t", None) is not None, (
+        assert self._stream_t is not None, (
             "call begin_stream(batch_size) first")
         B = self._stream_batch
         T, L, Bc, C = cond_chunk.shape
@@ -428,17 +430,17 @@ class WaveNetInfer:
                 selectors_chunk = np.zeros((T, B), np.float32)
         # stage the chunk on device (sharded under a mesh), keeping the
         # carried generation state (set_inputs would reset it)
-        from jax.sharding import PartitionSpec as P
         cond = self._shard(jnp.asarray(cond_chunk, jnp.float32),
                            P(None, None, "data", None))
         sel = self._shard(jnp.asarray(selectors_chunk, jnp.float32),
                           P(None, "data"))
+        impl = self._resolve_impl(B)
         cond_pre = None
-        if self._resolve_impl(B) != Impl.MANYBLOCK:
+        if impl != Impl.MANYBLOCK:
             cond_pre = cond + self._device_params()["dil_b"][None, :, None, :]
         t0 = self._stream_t
         self._stream_t += T
-        y = self._dispatch(t0, cond, cond_pre, sel, B, mode, False)
+        y = self._dispatch(impl, t0, cond, cond_pre, sel, B, mode, False)
         return np.asarray(y).T
 
     def run_chunks(self, chunk_size: int, consume: Callable, num_samples: int,
