@@ -52,8 +52,38 @@ def main(argv=None):
         batch_size=train_c.get("batch_size", 4),
         seed=train_c.get("seed", 1234),
         iters_per_checkpoint=train_c.get("iters_per_checkpoint", 1000),
+        epochs=train_c.get("epochs", 0),
+        with_tensorboard=train_c.get("with_tensorboard", False),
     )
-    num_iters = args.num_iters or train_c.get("num_iters", 100)
+    # resume parity (`train.py:102-107`): checkpoint_path = dir, plus the
+    # iteration to restore
+    resume_dir = train_c.get("checkpoint_path") or None
+    resume_it = train_c.get("checkpoint_iteration", 0)
+
+    # schedule: `num_iters` (iteration-driven, infinite random sampler) takes
+    # precedence; otherwise `epochs` drives dataset-pass semantics exactly
+    # like the reference (`train.py:129-136`): per-epoch reshuffle, the clip
+    # list sharded across processes, drop_last batching, epoch-offset resume
+    import jax
+    num_iters = args.num_iters or train_c.get("num_iters")
+    if num_iters is not None:
+        if train_c.get("epochs"):
+            print("note: num_iters set; epochs ignored "
+                  "(iteration-driven schedule)", flush=True)
+        batches = ds.batches(tcfg.batch_size)
+    else:
+        epochs = train_c.get("epochs", 1)
+        rank, world = jax.process_index(), jax.process_count()
+        spe = ds.steps_per_epoch(tcfg.batch_size, world)
+        assert spe > 0, (
+            f"dataset too small: {len(ds.clips)} clips < "
+            f"batch_size {tcfg.batch_size} x {world} process(es)")
+        num_iters = epochs * spe
+        start_epoch = (resume_it // spe) if resume_dir else 0
+        batches = ds.epoch_batches(tcfg.batch_size, epochs, rank=rank,
+                                   world_size=world, start_epoch=start_epoch)
+        print(f"epoch schedule: {epochs} epochs x {spe} steps "
+              f"(world={world})", flush=True)
 
     mesh = None
     dp = dist_c.get("data_parallel", 1)
@@ -65,13 +95,9 @@ def main(argv=None):
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         out_dir = os.path.abspath(out_dir)
-    # resume parity (`train.py:102-107`): checkpoint_path = dir, plus the
-    # iteration to restore
-    resume_dir = train_c.get("checkpoint_path") or None
-    resume_it = train_c.get("checkpoint_iteration", 0)
     import time
     t0 = time.time()
-    state, losses = trainer.train(model, tcfg, ds.batches(tcfg.batch_size),
+    state, losses = trainer.train(model, tcfg, batches,
                                   num_iters=num_iters, mesh=mesh,
                                   ckpt_dir=out_dir,
                                   log_every=train_c.get("log_every", 1),

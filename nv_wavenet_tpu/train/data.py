@@ -134,12 +134,15 @@ class Mel2Samp:
                  seed: int = 0):
         self.cfg = data_cfg
         self.clips = audio_clips
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.fb = mel_filterbank(data_cfg)
 
-    def sample(self) -> Tuple[np.ndarray, np.ndarray]:
+    def sample_clip(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Featurize a random fixed-length segment of clip `index` (random
+        segment start + short-clip padding, `mel2samp_onehot.py:81-87`)."""
         cfg = self.cfg
-        audio = self.clips[self.rng.randint(len(self.clips))]
+        audio = self.clips[index]
         seg = cfg.segment_length
         if len(audio) >= seg:
             start = self.rng.randint(len(audio) - seg + 1)
@@ -150,10 +153,44 @@ class Mel2Samp:
         target = mu_law_encode_np(np.clip(audio, -1, 1), cfg.mu_quantization)
         return mel, target.astype(np.int32)
 
+    def sample(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.sample_clip(self.rng.randint(len(self.clips)))
+
     def batches(self, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Infinite random sampler (iteration-count-driven training)."""
         while True:
             mels, targets = zip(*[self.sample() for _ in range(batch_size)])
             yield np.stack(mels), np.stack(targets)
+
+    def steps_per_epoch(self, batch_size: int, world_size: int = 1) -> int:
+        """Batches per dataset pass per process (drop_last=True semantics,
+        `train.py:113-117`)."""
+        return len(self.clips) // world_size // batch_size
+
+    def epoch_batches(self, batch_size: int, epochs: Optional[int] = None,
+                      rank: int = 0, world_size: int = 1,
+                      start_epoch: int = 0
+                      ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Epoch/dataset-pass semantics (reference `train.py:129-136`): each
+        epoch visits every clip once in a deterministically re-shuffled order
+        (the DistributedSampler set_epoch analog: shuffle keyed on the epoch
+        index, identical across processes), shards the order across processes,
+        and drops the ragged final batch (DataLoader drop_last=True).
+
+        epochs=None iterates forever; start_epoch implements the reference's
+        resume epoch offset (`train.py:127`)."""
+        assert 0 <= rank < world_size
+        e = start_epoch
+        while epochs is None or e < epochs:
+            order = np.random.RandomState(
+                (self.seed + 0x9E3779B9 * e) & 0x7FFFFFFF
+            ).permutation(len(self.clips))[rank::world_size]
+            n_full = len(order) // batch_size * batch_size
+            for i in range(0, n_full, batch_size):
+                mels, targets = zip(*[self.sample_clip(j)
+                                      for j in order[i:i + batch_size]])
+                yield np.stack(mels), np.stack(targets)
+            e += 1
 
 
 def synthetic_clips(n_clips: int = 4, length: int = 32000, sr: int = 16000,

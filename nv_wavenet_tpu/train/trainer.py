@@ -44,7 +44,10 @@ class TrainConfig:
     seed: int = 1234
     iters_per_checkpoint: int = 1000
     epochs: int = 1
-    with_tensorboard: bool = False  # parity flag; metrics go to stdout/JSONL
+    # parity with the reference's `with_tensorboard` flag (`train.py:83`):
+    # when set, per-iteration scalars additionally stream to
+    # <ckpt_dir>/metrics.jsonl (a TensorBoard-free structured sink)
+    with_tensorboard: bool = False
 
 
 class TrainState(train_state.TrainState):
@@ -238,9 +241,27 @@ def train(model: WaveNetTrain, train_cfg: TrainConfig,
     losses = []
     shard_fn = None
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        batch_sharding = NamedSharding(mesh, P("data"))
-        shard_fn = lambda a: jax.device_put(np.asarray(a), batch_sharding)  # noqa: E731
+        from jax.sharding import PartitionSpec as P
+
+        from nv_wavenet_tpu.parallel import mesh as mesh_lib
+        # multihost-correct staging: each process contributes its LOCAL
+        # batch shard (per-rank data ownership, like the reference's
+        # DistributedSampler); single-process = plain sharded device_put
+        shard_fn = lambda a: mesh_lib.stage(mesh, P("data"), np.asarray(a))  # noqa: E731
+    # multi-host hygiene (the reference gates on rank 0, `train.py:149-154`):
+    # exactly one process prints and writes metrics.  Checkpoint SAVES stay
+    # un-gated on purpose — orbax saving of (possibly sharded) global arrays
+    # is a COLLECTIVE: every process must call save(); orbax coordinates the
+    # writes into one checkpoint directory (rank-gating it would deadlock).
+    is_chief = jax.process_index() == 0
+    metrics = None
+    if train_cfg.with_tensorboard and is_chief:
+        import os
+        import time
+        mdir = ckpt_dir or "."
+        os.makedirs(mdir, exist_ok=True)
+        metrics = open(os.path.join(mdir, "metrics.jsonl"), "a", buffering=1)
+        t_start = time.time()
     dev_batches = _device_prefetch(batches, first=(mel0, audio0),
                                    shard_fn=shard_fn)
     for it in range(start_iter, num_iters):
@@ -248,9 +269,21 @@ def train(model: WaveNetTrain, train_cfg: TrainConfig,
         state, loss = step_fn(state, mel_d, audio_d)
         losses.append(loss)
         if it % log_every == 0:
-            print(f"{it}:\t{float(loss):.9f}", flush=True)
+            # the float() fetch happens only at log cadence (a per-iteration
+            # fetch would synchronize the async dispatch pipeline)
+            loss_f = float(loss)
+            if is_chief:
+                print(f"{it}:\t{loss_f:.9f}", flush=True)
+            if metrics is not None:
+                import json
+                import time
+                metrics.write(json.dumps(
+                    {"iteration": it, "loss": loss_f,
+                     "elapsed_s": round(time.time() - t_start, 3)}) + "\n")
         if ckpt_dir and (it + 1) % train_cfg.iters_per_checkpoint == 0:
             save_checkpoint(ckpt_dir, state, it + 1)
+    if metrics is not None:
+        metrics.close()
     return state, [float(l) for l in losses]
 
 

@@ -24,14 +24,28 @@ _LIB = os.path.join(_REPO, "build", "libwavenet_golden.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> str:
-    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
-    if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+def _build_lib(src: str, lib: str, opt: str) -> str:
+    """Build `src` -> `lib`, keyed on a CONTENT hash of the source (not
+    mtimes: on a fresh clone a stale committed binary and the source share
+    checkout time, so an mtime check would silently load the wrong build)."""
+    import hashlib
+
+    os.makedirs(os.path.dirname(lib), exist_ok=True)
+    digest = hashlib.sha256(open(src, "rb").read()).hexdigest()
+    stamp = lib + ".sha256"
+    up_to_date = (os.path.exists(lib) and os.path.exists(stamp)
+                  and open(stamp).read().strip() == digest)
+    if not up_to_date:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            ["g++", opt, "-shared", "-fPIC", "-std=c++17", src, "-o", lib],
             check=True, capture_output=True)
-    return _LIB
+        with open(stamp, "w") as f:
+            f.write(digest)
+    return lib
+
+
+def _build() -> str:
+    return _build_lib(_SRC, _LIB, "-O2")
 
 
 def load() -> ctypes.CDLL:
@@ -119,14 +133,7 @@ _feat_lib: Optional[ctypes.CDLL] = None
 
 
 def _build_feat() -> str:
-    os.makedirs(os.path.dirname(_FEAT_LIB), exist_ok=True)
-    if (not os.path.exists(_FEAT_LIB)
-            or os.path.getmtime(_FEAT_LIB) < os.path.getmtime(_FEAT_SRC)):
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _FEAT_SRC,
-             "-o", _FEAT_LIB],
-            check=True, capture_output=True)
-    return _FEAT_LIB
+    return _build_lib(_FEAT_SRC, _FEAT_LIB, "-O3")
 
 
 def load_feat() -> ctypes.CDLL:

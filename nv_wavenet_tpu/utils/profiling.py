@@ -61,7 +61,7 @@ class StepCost:
         v5e — the 6-pass fp32 decomposition and the gate/softmax VPU work
         hide inside it).  Batch does not change this (rows < 128 ride along
         free); it only multiplies total chip throughput.  Measured flagship
-        rates (~10 us/step = 2L+4 = 44 stages x ~220 ns) sit at ~90% of this
+        rates (~10 us/step = 2L+3 = 43 stages x ~220 ns) sit at ~90% of this
         floor — the kernel is latency-bound, not FLOP-bound."""
         return 1e6 / (self.critical_path_matmuls * stage_ns)
 

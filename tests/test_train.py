@@ -200,3 +200,22 @@ def test_precision_option_plumbs_through_config():
     _, loss = jax.jit(trainer.train_step)(state, jnp.asarray(mel),
                                           jnp.asarray(audio))
     assert np.isfinite(float(loss))
+
+
+def test_metrics_jsonl_sink(tmp_path):
+    """with_tensorboard=True streams per-iteration scalars to
+    <ckpt_dir>/metrics.jsonl (the reference flag's structured-sink analog)."""
+    import json
+
+    from nv_wavenet_tpu.train.data import DataConfig, Mel2Samp, synthetic_clips
+
+    model = trainer.create_model(TINY)
+    ds = Mel2Samp(synthetic_clips(n_clips=2, length=1024), TINY_DATA)
+    tcfg = trainer.TrainConfig(batch_size=2, iters_per_checkpoint=1000,
+                               with_tensorboard=True)
+    trainer.train(model, tcfg, ds.batches(2), num_iters=3,
+                  ckpt_dir=str(tmp_path), log_every=1)
+    lines = [json.loads(l) for l in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert [l["iteration"] for l in lines] == [0, 1, 2]
+    assert all(np.isfinite(l["loss"]) and l["elapsed_s"] >= 0 for l in lines)
