@@ -96,25 +96,6 @@ def test_kernel_state_carries_across_calls():
     assert np.array_equal(y_full, np.concatenate([y1, y2], axis=1))
 
 
-def test_kernel_matches_scan_bf16():
-    """bf16 weights path: kernel vs scan generator with identical bf16
-    casting — distribution-level closeness plus identical integer outputs
-    between the two TPU-side implementations."""
-    import jax.numpy as jnp
-    cfg = WaveNetConfig(num_layers=8, R=32, S=128, A=256, max_dilation=8)
-    ref_w, cond, selectors = make_case(cfg, 2, 8, seed=13)
-    params = params_lib.to_canonical(ref_w, cfg)
-    y_kern, _, _, _ = run_kernel(cfg, params, cond, selectors, 2, 4)
-    params_bf = {k: jnp.asarray(v, jnp.bfloat16).astype(jnp.float32)
-                 for k, v in params.items()}
-    gen = persistent.make_persistent_generator(
-        cfg, 2, 4, weight_dtype=jnp.bfloat16, compute_dtype=jnp.float32,
-        interpret=True)
-    ring = persistent.init_ring(cfg, 2)
-    ys = jnp.full((2, 2), cfg.silence_bin, jnp.int32)
-    out = gen(params, np.array([0]), jnp.asarray(cond), jnp.asarray(selectors),
-              ring, ys)
-    y_bf = np.asarray(out[0]).T
-    # bf16 weights shift probabilities slightly; most samples still agree
-    agree = np.mean(y_bf == y_kern)
-    assert agree >= 0.5, f"bf16 path diverged too much: agreement {agree}"
+# NOTE: the bf16 correctness contract (kernel-vs-scan EXACT integer match
+# under bf16 weight storage + teacher-forced distribution-allclose for bf16
+# compute / fast_math) lives in tests/test_low_precision.py.
