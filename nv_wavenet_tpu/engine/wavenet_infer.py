@@ -11,8 +11,10 @@ backed by a dump mode.  Differences are deliberate TPU-first design:
     every `wavenet_infer()` call, `pytorch/wavenet_infer.cu:105-145`),
   * R/S/A are runtime config, not compile-time templates,
   * `Impl.PERSISTENT` maps to the fused Pallas VMEM-resident kernel;
-    `Impl.MANYBLOCK` maps to the XLA scan generator (weights streamed from
-    HBM each sample, for configs whose weights+state exceed VMEM);
+    `Impl.MANYBLOCK` maps to the same kernel with stream_weights=True (the
+    per-layer weight stacks stay in HBM, double-buffered per-layer DMA — for
+    configs whose weights+state exceed VMEM; mode="prng" falls back to the
+    XLA scan generator whose threefry draws run on any backend);
     SINGLE_BLOCK/DUAL_BLOCK are accepted for parity and map to PERSISTENT
     (the reference needed them only because of GPU register-file limits —
     SURVEY §7 "what deliberately does not carry over"),
@@ -180,16 +182,25 @@ class WaveNetInfer:
         """cond: [T, L, B, 2R] conditioning; selectors: [T, B] uniforms in
         [0,1).  If selectors is None they are drawn from a seeded PRNG — the
         analog of the reference's host-side rand() selectors
-        (`pytorch/wavenet_infer.cu:92-93`), but reproducible."""
-        T, L, B, C = cond.shape
+        (`pytorch/wavenet_infer.cu:92-93`), but reproducible.
+
+        Under a MULTI-HOST mesh, cond/selectors are this process's batch
+        shard (B_local = B_global / process_count); subsequent batch_size
+        arguments are global."""
+        T, L, Bl, C = cond.shape
         assert L == self.cfg.num_layers and C == 2 * self.cfg.R, (
             f"cond shape {cond.shape} does not match config "
             f"(L={self.cfg.num_layers}, 2R={2 * self.cfg.R})")
+        B = Bl * self._n_proc()               # global utterance batch
         assert B <= self.max_batch
+        self._check_mesh_batch(B)
         if selectors is None:
-            selectors = np.random.RandomState(seed).uniform(
-                0, 1, size=(T, B)).astype(np.float32)
-        assert selectors.shape == (T, B)
+            # decorrelate processes: each owns different utterances
+            proc_seed = seed + 0x9E3779B9 * (jax.process_index()
+                                             if self.mesh is not None else 0)
+            selectors = np.random.RandomState(proc_seed & 0x7FFFFFFF).uniform(
+                0, 1, size=(T, Bl)).astype(np.float32)
+        assert selectors.shape == (T, Bl)
         # stage inputs on device ONCE (the analog of the reference's
         # device-pointer input path, `nv_wavenet_conversions.cuh:38-42` /
         # `nv_wavenet_test.cu:359-365`); per-run slices then stay on device.
@@ -201,20 +212,41 @@ class WaveNetInfer:
                                       P(None, "data"))
         self._reset_state(B)
 
+    def _n_proc(self) -> int:
+        """Processes participating in the mesh (multi-host pods >1).  Under
+        multihost the engine follows the reference's per-rank data ownership
+        (`pytorch/train.py:109-117`): callers pass PER-PROCESS batch shards
+        of cond/selectors and read back their own utterances; batch_size
+        arguments stay GLOBAL."""
+        return jax.process_count() if self.mesh is not None else 1
+
     def _shard(self, x, spec):
         if self.mesh is None:
             return x
-        return jax.device_put(x, NamedSharding(self.mesh, spec))
+        from nv_wavenet_tpu.parallel import mesh as mesh_lib
+        return mesh_lib.stage(self.mesh, spec, x)
+
+    def _check_mesh_batch(self, batch: int):
+        """Fail early with a clear message instead of deep inside
+        shard_map/device_put when the batch can't shard evenly."""
+        if self.mesh is not None:
+            n = self.mesh.shape["data"]
+            assert batch % n == 0, (
+                f"batch_size {batch} not divisible by the mesh 'data' axis "
+                f"({n} chips); pad the utterance batch to a multiple of {n}")
 
     def _reset_state(self, batch):
+        """batch is GLOBAL; state arrays are created at per-process size and
+        staged into the (possibly multi-host) sharded layout."""
         cfg = self.cfg
+        b_loc = batch // self._n_proc()
         ring_dtype = (jnp.float32 if self.compute_dtype == jnp.float32
                       else self.compute_dtype)
-        self._ring = self._shard(persistent.init_ring(cfg, batch, ring_dtype),
+        self._ring = self._shard(persistent.init_ring(cfg, b_loc, ring_dtype),
                                  P(None, "data", None))
         self._y_state = self._shard(
-            jnp.full((2, batch), cfg.silence_bin, jnp.int32), P(None, "data"))
-        st = scan_generate.init_state(cfg, batch, ring_dtype)
+            jnp.full((2, b_loc), cfg.silence_bin, jnp.int32), P(None, "data"))
+        st = scan_generate.init_state(cfg, b_loc, ring_dtype)
         if self.mesh is not None:
             st = scan_generate.GenState(
                 ring=self._shard(st.ring, P(None, "data", None)),
@@ -230,7 +262,7 @@ class WaveNetInfer:
     def _weight_bytes(self) -> int:
         return 2 if self.weight_dtype == jnp.bfloat16 else 4
 
-    def _effective_chunk(self, batch) -> int:
+    def _effective_chunk(self, batch, stream: bool = False) -> int:
         """Largest chunk <= chunk_size whose double-buffered conditioning
         stream + weights + ring fit the VMEM budget (the planning analog of
         the reference's occupancy tuning, `README.md:66`).
@@ -242,7 +274,7 @@ class WaveNetInfer:
         b_dev = self._per_device(batch)
         chunk = max(8, self.chunk_size - self.chunk_size % 8)
         while chunk > 8 and persistent.estimate_vmem_bytes(
-                self.cfg, b_dev, chunk, wb) > self.vmem_budget:
+                self.cfg, b_dev, chunk, wb, stream=stream) > self.vmem_budget:
             chunk //= 2
         return max(8, chunk - chunk % 8)
 
@@ -265,7 +297,16 @@ class WaveNetInfer:
 
     def _device_params(self, dtype=None):
         if self._params is None:
-            self._params = {k: jnp.asarray(v) for k, v in self._np_params.items()}
+            if self.mesh is not None and self._n_proc() > 1:
+                # multihost: weights replicate (every process uploads the
+                # same values) — the sharding analog of the reference's
+                # rank-0 parameter broadcast (`distributed.py:100-103`)
+                self._params = {
+                    k: self._shard(v, P(*(None,) * np.ndim(v)))
+                    for k, v in self._np_params.items()}
+            else:
+                self._params = {k: jnp.asarray(v)
+                                for k, v in self._np_params.items()}
         if dtype is not None and dtype != jnp.float32:
             # weight-dtype cast for the HBM-streaming path: MANYBLOCK is
             # bound by per-step weight re-reads, so bf16 storage halves its
@@ -276,27 +317,44 @@ class WaveNetInfer:
             return self._params_cast
         return self._params
 
-    def _persistent_gen(self, batch, mode, dump):
-        chunk = self._effective_chunk(batch)
-        key = ("persistent", batch, chunk, mode, dump)
+    def _dil_b_folded(self):
+        """dil_b as the kernel's weight upload would round it (bf16 weight
+        storage rounds biases too): prefolding must add the SAME values the
+        non-prefold path would, or the bf16-weights exact-match contract
+        between PERSISTENT (prefolded) and MANYBLOCK (in-loop add) breaks."""
+        b = self._device_params()["dil_b"]
+        if self.weight_dtype != jnp.float32:
+            b = b.astype(self.weight_dtype).astype(jnp.float32)
+        return b
+
+    def _interpret(self) -> bool:
+        """Pallas kernels compile only for TPU; on a CPU backend (tests,
+        development boxes) fall back to interpret mode automatically so the
+        engine runs anywhere, like the reference's CPU golden path."""
+        return self.interpret or jax.default_backend() == "cpu"
+
+    def _persistent_gen(self, batch, mode, dump, stream=False):
+        chunk = self._effective_chunk(batch, stream)
+        key = ("persistent", batch, chunk, mode, dump, stream)
         if key not in self._gen_cache:
             if self.mesh is not None:
-                assert not dump, "dump_activations is a single-device feature"
                 from nv_wavenet_tpu.parallel import mesh as mesh_lib
                 self._gen_cache[key] = mesh_lib.make_sharded_persistent_generator(
                     self.cfg, self.mesh, self._per_device(batch), chunk,
                     mode=mode, weight_dtype=self.weight_dtype,
                     compute_dtype=self.compute_dtype,
-                    interpret=self.interpret, prefold_cond=True,
-                    fast_math=self.fast_math)
+                    interpret=self._interpret(), prefold_cond=True,
+                    fast_math=self.fast_math, dump=dump,
+                    stream_weights=stream)
             else:
                 self._gen_cache[key] = jax.jit(
                     persistent.make_persistent_generator(
                         self.cfg, batch, chunk, mode=mode, dump=dump,
                         weight_dtype=self.weight_dtype,
                         compute_dtype=self.compute_dtype,
-                        interpret=self.interpret, fast_math=self.fast_math,
-                        prefold_cond=True))
+                        interpret=self._interpret(),
+                        fast_math=self.fast_math,
+                        prefold_cond=True, stream_weights=stream))
         return self._gen_cache[key]
 
     # ------------------------------------------------------------------
@@ -326,16 +384,16 @@ class WaveNetInfer:
             self._reset_state(B)
         sl = slice(init_sample, init_sample + num_samples)
         # slice only the stream the resolved impl consumes: the scan path
-        # reads raw cond; the kernel reads the dil_b-prefolded copy (built
-        # once per weights — float-exact, removes a per-layer VPU add)
+        # (MANYBLOCK prng mode) reads raw cond; both kernels read the
+        # dil_b-prefolded copy (built once per weights — float-exact,
+        # removes a per-layer VPU add)
         impl = self._resolve_impl(B)
-        if impl == Impl.MANYBLOCK:
+        if impl == Impl.MANYBLOCK and mode == "prng":
             cond, cond_pre = self._cond[sl, :, :B], None
         else:
             if self._cond_pre is None:
                 self._cond_pre = (self._cond
-                                  + self._device_params()["dil_b"][None, :,
-                                                                   None, :])
+                                  + self._dil_b_folded()[None, :, None, :])
             cond, cond_pre = None, self._cond_pre[sl, :, :B]
         return self._dispatch(impl, init_sample, cond, cond_pre, sel, B, mode,
                               dump_activations)
@@ -344,11 +402,16 @@ class WaveNetInfer:
                   mode: str, dump: bool):
         """Run the resolved implementation over chunk-local device inputs
         (cond raw for the scan path, cond_pre = dil_b-prefolded for the
-        kernel), carrying generation state; t0 is the absolute index of the
+        kernels), carrying generation state; t0 is the absolute index of the
         first sample (ring addressing + PRNG reseeds).  Returns device y
-        [T, B]."""
+        [T, B].
+
+        MANYBLOCK maps to the HBM-streaming Pallas kernel (per-layer weights
+        double-buffered HBM->VMEM, `ops/persistent.py` stream_weights) —
+        except mode="prng", which uses the XLA scan generator (its threefry
+        draws run on any backend; kernel PRNG is TPU-hardware-only)."""
         T = sel.shape[0]
-        if impl == Impl.MANYBLOCK:
+        if impl == Impl.MANYBLOCK and mode == "prng":
             st, y, aux = scan_generate.generate(
                 self._device_params(self.weight_dtype), self._scan_state,
                 cond, sel, self.cfg, mode=mode, dump=dump,
@@ -358,15 +421,17 @@ class WaveNetInfer:
                 self._dumps = jax.tree.map(np.asarray, aux)
             return y.T  # [T, B] on device
 
-        # persistent kernel: pad T to a chunk multiple; padded tail steps are
-        # masked in-kernel so carried state stays exact at ragged boundaries
+        # fused kernel (VMEM-resident or HBM-streaming weights): pad T to a
+        # chunk multiple; padded tail steps are masked in-kernel so carried
+        # state stays exact at ragged boundaries
+        stream = impl == Impl.MANYBLOCK
         params = self._device_params()
-        chunk = self._effective_chunk(B)
+        chunk = self._effective_chunk(B, stream)
         pad = (-T) % chunk
         if pad:
             cond_pre = jnp.pad(cond_pre, ((0, pad), (0, 0), (0, 0), (0, 0)))
             sel = jnp.pad(sel, ((0, pad), (0, 0)))
-        gen = self._persistent_gen(B, mode, dump)
+        gen = self._persistent_gen(B, mode, dump, stream)
         if self.mesh is not None:
             out = gen(params, jnp.array([t0, T, self.sampling_seed],
                                         jnp.int32),
@@ -377,7 +442,14 @@ class WaveNetInfer:
                       seed=self.sampling_seed)
         y, self._ring, self._y_state = out[0], out[1], out[2]
         if dump and len(out) > 3:
-            xt, skip, zs, za, p = [np.asarray(o) for o in out[3:]]
+            if self._n_proc() > 1:
+                # each process reads back its own utterances' activations
+                from nv_wavenet_tpu.parallel import mesh as mesh_lib
+                xt = mesh_lib.fetch_local(out[3], 1)
+                skip = mesh_lib.fetch_local(out[4], 1)
+                zs, za, p = [mesh_lib.fetch_local(o, 0) for o in out[5:8]]
+            else:
+                xt, skip, zs, za, p = [np.asarray(o) for o in out[3:]]
             self._dumps = {"xt": xt, "skip": skip, "zs": zs, "za": za, "p": p}
         return y[:T]
 
@@ -389,6 +461,15 @@ class WaveNetInfer:
         host fetch of multi-MB outputs is expensive over a tunneled TPU."""
         return self._run_partial_device(0, num_samples, batch_size, mode, False)
 
+    def _fetch_y(self, y_dev) -> np.ndarray:
+        """Host copy of device y [T, B] -> [B, T].  Under multihost each
+        process reads back its OWN utterances ([B_local, T]) — per-rank
+        output ownership, like the reference's per-GPU engines."""
+        if self.mesh is not None and self._n_proc() > 1:
+            from nv_wavenet_tpu.parallel import mesh as mesh_lib
+            return mesh_lib.fetch_local(y_dev, batch_axis=1).T
+        return np.asarray(y_dev).T
+
     def run_partial(self, init_sample: int, num_samples: int, batch_size: int,
                     mode: str = "sample", dump_activations: bool = False
                     ) -> np.ndarray:
@@ -396,7 +477,7 @@ class WaveNetInfer:
         makes chunked calls equal one full run."""
         y = self._run_partial_device(init_sample, num_samples, batch_size,
                                      mode, dump_activations)
-        return np.asarray(y).T
+        return self._fetch_y(y)
 
     def begin_stream(self, batch_size: int):
         """Start incremental generation: conditioning arrives chunk-by-chunk
@@ -404,6 +485,7 @@ class WaveNetInfer:
         upfront through `set_inputs` (the reference's only mode,
         `nv_wavenet.cuh:417`).  Generation state resets to silence."""
         assert batch_size <= self.max_batch
+        self._check_mesh_batch(batch_size)
         self._reset_state(batch_size)
         self._stream_t = 0
         self._stream_batch = batch_size
@@ -415,19 +497,31 @@ class WaveNetInfer:
         y [batch, n] int32.  Chunk lengths may vary call-to-call and need not
         align to the kernel chunk (in-kernel n_valid masking keeps carried
         state exact at ragged boundaries).  Equivalent to one full run over
-        the concatenated conditioning."""
+        the concatenated conditioning: injected selectors are exact by the
+        carried-state contract, and DEFAULT selectors are drawn from one
+        logical stream keyed on the ABSOLUTE sample index (like mode="prng"),
+        so the generated audio is invariant to how the caller chunks the
+        conditioning.  (The default stream differs from `set_inputs`'s
+        all-upfront seeded draw — inject selectors to reproduce across the
+        two input modes.)"""
         assert self._stream_t is not None, (
             "call begin_stream(batch_size) first")
         B = self._stream_batch
         T, L, Bc, C = cond_chunk.shape
-        assert Bc == B and L == self.cfg.num_layers and C == 2 * self.cfg.R
+        assert (Bc * self._n_proc() == B and L == self.cfg.num_layers
+                and C == 2 * self.cfg.R)
         if selectors_chunk is None:
             if mode == "sample":
-                selectors_chunk = np.random.RandomState(
-                    self.sampling_seed + self._stream_t).uniform(
-                        0, 1, size=(T, B)).astype(np.float32)
+                pidx = jax.process_index() if self.mesh is not None else 0
+                selectors_chunk = np.stack([
+                    np.random.RandomState(
+                        (self.sampling_seed + 0x9E3779B9 * t
+                         + 0x85EBCA6B * pidx) & 0x7FFFFFFF
+                    ).uniform(0, 1, size=(Bc,))
+                    for t in range(self._stream_t, self._stream_t + T)
+                ]).astype(np.float32)
             else:
-                selectors_chunk = np.zeros((T, B), np.float32)
+                selectors_chunk = np.zeros((T, Bc), np.float32)
         # stage the chunk on device (sharded under a mesh), keeping the
         # carried generation state (set_inputs would reset it)
         cond = self._shard(jnp.asarray(cond_chunk, jnp.float32),
@@ -436,12 +530,12 @@ class WaveNetInfer:
                           P(None, "data"))
         impl = self._resolve_impl(B)
         cond_pre = None
-        if impl != Impl.MANYBLOCK:
-            cond_pre = cond + self._device_params()["dil_b"][None, :, None, :]
+        if not (impl == Impl.MANYBLOCK and mode == "prng"):
+            cond_pre = cond + self._dil_b_folded()[None, :, None, :]
         t0 = self._stream_t
         self._stream_t += T
         y = self._dispatch(impl, t0, cond, cond_pre, sel, B, mode, False)
-        return np.asarray(y).T
+        return self._fetch_y(y)
 
     def run_chunks(self, chunk_size: int, consume: Callable, num_samples: int,
                    batch_size: int, mode: str = "sample") -> np.ndarray:
@@ -463,11 +557,11 @@ class WaveNetInfer:
             off += n
             while len(pending) > 1:
                 yd, o, k = pending.pop(0)
-                y_host = np.asarray(yd).T
+                y_host = self._fetch_y(yd)
                 consume(y_host, o, k)
                 ys.append(y_host)
         for yd, o, k in pending:
-            y_host = np.asarray(yd).T
+            y_host = self._fetch_y(yd)
             consume(y_host, o, k)
             ys.append(y_host)
         return np.concatenate(ys, axis=1)

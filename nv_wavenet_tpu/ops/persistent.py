@@ -9,7 +9,10 @@ kernel that runs the ENTIRE generation:
 
   * all weights are VMEM-resident for the whole call (loaded once — the
     analog of the persistent variant's weights-in-registers,
-    `nv_wavenet_persistent.cuh:96-166`),
+    `nv_wavenet_persistent.cuh:96-166`); with stream_weights=True the two
+    big per-layer stacks stay in HBM instead and the kernel double-buffers
+    their per-layer DMA — the MANYBLOCK variant for models beyond VMEM
+    (`nv_wavenet_persistent.cuh:521-568`),
   * the per-layer dilation FIFOs (lane-packed ring buffer: same-dilation
     layers share 128-lane rows) are carried in HBM between calls and DMA'd
     through one VMEM scratch copy for the duration of the call, so state
@@ -54,7 +57,7 @@ def _dot(a, b, precision):
 
 def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                  dump: bool, compute_dtype, precision, unroll, prefold_cond,
-                 rs_split,
+                 rs_split, stream,
                  # refs (order fixed by the pallas_call below):
                  t0_ref,                                   # scalar prefetch
                  embed, dil_w, dil_b, rs_w, rs_b, out_w, out_b, end_w, end_b,
@@ -64,9 +67,55 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
     B = batch
     dils = cfg.dilations
     _, _, p_offs, lane_slots = cfg.packed_ring_plan()
-    dump_refs, ring, dma_sem = rest[:-2], rest[-2], rest[-1]
+    if stream:
+        # MANYBLOCK analog: the per-layer weight stack stays in HBM; layer
+        # l+1's weights DMA into the spare VMEM buffer while layer l computes
+        # (double buffering) — the TPU replacement for the reference's
+        # weights-reloaded-per-sample manyblock launch
+        # (`nv_wavenet_persistent.cuh:521-568`, `README.md:17`)
+        (ring, dma_sem, dil_buf, rs_buf, dil_sem, rs_sem) = rest[-6:]
+        mid = rest[:-6]
+    else:
+        ring, dma_sem = rest[-2:]
+        mid = rest[:-2]
+    if mode == "forced":
+        # teacher forcing emits the full per-step probability sequence (the
+        # kernel-level analog of the scan generator's forced_y + return_za —
+        # used for likelihood scoring and the low-precision distribution
+        # contract, tests/test_low_precision.py)
+        p_seq, dump_refs = mid[-1], mid[:-1]
+    else:
+        dump_refs = mid
 
     i = pl.program_id(0)
+
+    if stream:
+        def _layer_dma(l):
+            slot = l % 2
+            return (pltpu.make_async_copy(dil_w.at[pl.ds(l, 1)],
+                                          dil_buf.at[pl.ds(slot, 1)],
+                                          dil_sem.at[slot]),
+                    pltpu.make_async_copy(rs_w.at[pl.ds(l, 1)],
+                                          rs_buf.at[pl.ds(slot, 1)],
+                                          rs_sem.at[slot]))
+
+        def layer_weights(l):
+            # start layer l+1's HBM->VMEM copies before consuming layer l's:
+            # the copy engine runs under layer l's two matmuls
+            if l == 0:
+                for cp in _layer_dma(0):
+                    cp.start()
+            if l + 1 < L:
+                for cp in _layer_dma(l + 1):
+                    cp.start()
+            for cp in _layer_dma(l):
+                cp.wait()
+            # the stacks' minor dim is padded to the 128-lane tiling
+            # (Mosaic requires aligned HBM memref slices); drop the pad
+            return dil_buf[l % 2][:, :2 * R], rs_buf[l % 2][:, :R + S]
+    else:
+        def layer_weights(l):
+            return dil_w[l], rs_w[l]
 
     # The ring (carried dilation-FIFO state) lives in HBM between calls and
     # in ONE VMEM scratch during the call: DMA in at the first grid step, out
@@ -120,8 +169,9 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
             q = lane_slots[l] * R
             x_prev = ring[pl.ds(slot, 1)][0, :, q:q + R]   # [B, R] = x^l_{t-d}
             ring[pl.ds(slot, 1), :, q:q + R] = x.astype(ring.dtype)[None]
+            dw, rw = layer_weights(l)   # VMEM-resident or HBM-streamed
             xcat = jnp.concatenate([x_prev.astype(compute_dtype), x], axis=-1)
-            z = _dot(xcat, dil_w[l].astype(compute_dtype), precision)
+            z = _dot(xcat, dw.astype(compute_dtype), precision)
             if prefold_cond:
                 # engine pre-added dil_b into the conditioning stream
                 # (identical float values: elementwise add is exactly
@@ -140,14 +190,14 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                 # skip-off-critical-path warp specialization,
                 # `nv_wavenet_singleblock.cuh:116-131`)
                 hd = h.astype(compute_dtype)
-                res = _dot(hd, rs_w[l, :, :R].astype(compute_dtype), precision)
+                res = _dot(hd, rw[:, :R].astype(compute_dtype), precision)
                 x = ((res + rs_b[l, :R].astype(jnp.float32))
                      + x.astype(jnp.float32)).astype(compute_dtype)
-                sk = _dot(hd, rs_w[l, :, R:].astype(compute_dtype), precision)
+                sk = _dot(hd, rw[:, R:].astype(compute_dtype), precision)
                 skip = (skip + sk) + rs_b[l, R:].astype(jnp.float32)
             else:
                 rs = _dot(h.astype(compute_dtype),
-                          rs_w[l].astype(compute_dtype), precision)
+                          rw.astype(compute_dtype), precision)
                 x = ((rs[:, :R] + rs_b[l, :R].astype(jnp.float32))
                      + x.astype(jnp.float32)).astype(compute_dtype)
                 skip = (skip + rs[:, R:]) + rs_b[l, R:].astype(jnp.float32)
@@ -178,6 +228,11 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
 
         if mode == "argmax":
             y = jnp.argmax(za, axis=-1).astype(jnp.int32)
+        elif mode == "forced":
+            # the `sel` stream carries the ground-truth symbols (as exact
+            # small-integer floats); the autoregressive chain consumes them
+            y = sel[j].astype(jnp.int32)
+            p_seq[pl.ds(j, 1)] = p[None]
         else:
             # inverse-CDF selection over the FIXED-TREE prefix sum
             # (Hillis-Steele shift-and-add): the identical fp32 association
@@ -248,7 +303,8 @@ def _padded_bytes(shape, dtype_bytes: int) -> int:
 
 
 def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
-                        weight_bytes: int = 4, act_bytes: int = 4) -> int:
+                        weight_bytes: int = 4, act_bytes: int = 4,
+                        stream: bool = False) -> int:
     """VMEM budget estimate — the planning analog of the reference's
     occupancy assert (`nv_wavenet_util.cuh:42-58`).
 
@@ -257,13 +313,21 @@ def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
     scratch (single copy — the ring is an HBM operand DMA'd through scratch),
     aliased y_state (input + output windows: the compiler does not merge
     aliased windows), working set, and a spill allowance.
+
+    stream=True plans the MANYBLOCK variant: the per-layer dil/rs stacks stay
+    in HBM and only two double-buffered per-layer tiles live in VMEM.
     """
     L, R, S, A, B = cfg.num_layers, cfg.R, cfg.S, cfg.A, batch
     wb, ab = weight_bytes, act_bytes
-    weights = (_padded_bytes((2 * A, R), wb)
-               + _padded_bytes((L, 2 * R, 2 * R), wb)
+    if stream:
+        layer_weights = (2 * _padded_bytes((2 * R, 2 * R), wb)
+                         + 2 * _padded_bytes((R, R + S), wb))
+    else:
+        layer_weights = (_padded_bytes((L, 2 * R, 2 * R), wb)
+                         + _padded_bytes((L, R, R + S), wb))
+    weights = (layer_weights
+               + _padded_bytes((2 * A, R), wb)
                + _padded_bytes((L, 2 * R), wb)
-               + _padded_bytes((L, R, R + S), wb)
                + _padded_bytes((L, R + S), wb)
                + _padded_bytes((S, A), wb)
                + _padded_bytes((1, A), wb)
@@ -289,7 +353,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                               unroll: int = 1,
                               fast_math: bool = False,
                               prefold_cond: bool = False,
-                              rs_split: bool = False):
+                              rs_split: bool = False,
+                              stream_weights: bool = False):
     # NOTE: Pallas TPU fori_loop supports only unroll=1 or full unroll
     # (=chunk); full unroll multiplies compile time by the chunk length.
     #
@@ -305,7 +370,14 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
     between calls), y_state: [2, B] int32, t0: [1] int32 absolute index of
     the first sample (ring addressing + chunked `run_partial` parity).
 
-    Returns: y [T, B] int32, ring', y_state'  (+ dump arrays when dump=True).
+    Modes: "sample" (inverse-CDF over injected selectors), "argmax", "prng"
+    (in-kernel TPU PRNG keyed on absolute t), "forced" (teacher forcing: the
+    sel stream carries ground-truth symbols as exact small-integer floats;
+    the per-step probability sequence [T, B, A] is appended to the outputs —
+    the kernel analog of the scan's forced_y + return_za).
+
+    Returns: y [T, B] int32, ring', y_state'  (+ dump arrays when dump=True,
+    + p_seq [T, B, A] when mode="forced").
     """
     L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
     B = batch
@@ -315,7 +387,18 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
 
     kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode, dump,
                                compute_dtype, precision, unroll, prefold_cond,
-                               rs_split)
+                               rs_split, stream_weights)
+
+    if stream_weights:
+        # MANYBLOCK: the per-layer stacks stay in HBM; the kernel
+        # double-buffers their per-layer DMA (see _kernel_body)
+        dil_w_spec = pl.BlockSpec(memory_space=pl.ANY)
+        rs_w_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        dil_w_spec = pl.BlockSpec((L, 2 * R, 2 * R), lambda i: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        rs_w_spec = pl.BlockSpec((L, R, R + S), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
 
     in_specs = [
         # [t0, n_valid, seed]: absolute first-sample index, number of real
@@ -323,11 +406,12 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
         pl.BlockSpec((3,), lambda i: (0,), memory_space=pltpu.SMEM),
         # weights (PARAM_ORDER): whole-array blocks whose index never changes
         # -> fetched to VMEM once, resident for the whole grid (the
-        # weights-in-registers analog of the persistent CUDA variant)
+        # weights-in-registers analog of the persistent CUDA variant);
+        # under stream_weights the two big per-layer stacks stay in HBM
         pl.BlockSpec((2 * A, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((L, 2 * R, 2 * R), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        dil_w_spec,
         pl.BlockSpec((L, 2 * R), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((L, R, R + S), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        rs_w_spec,
         pl.BlockSpec((L, R + S), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((S, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -339,12 +423,12 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
         pl.BlockSpec((chunk, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
         # carried state (aliased to outputs); the ring stays in HBM (ANY) and
         # is DMA'd through ONE VMEM scratch copy inside the kernel
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((2, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = [
         pl.BlockSpec((chunk, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((2, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     if dump:
@@ -355,6 +439,9 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
             pl.BlockSpec((B, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
+    if mode == "forced":
+        out_specs += [pl.BlockSpec((chunk, B, A), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
 
     def generate(params: Dict, t0, cond, sel, ring, y_state, n_valid=None,
                  seed=0):
@@ -376,13 +463,33 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                 jax.ShapeDtypeStruct((B, A), jnp.float32),
                 jax.ShapeDtypeStruct((B, A), jnp.float32),
             ]
+        if mode == "forced":
+            out_shape += [jax.ShapeDtypeStruct((T, B, A), jnp.float32)]
         weights = [jnp.asarray(params[k], weight_dtype) if params[k].ndim > 1
                    else jnp.asarray(params[k], weight_dtype)[None]
                    for k in PARAM_ORDER]
+        if stream_weights:
+            # pad the streamed stacks' minor dim to the 128-lane tiling:
+            # Mosaic requires HBM memref slices be tile-aligned; the kernel
+            # slices the pad columns off in VMEM (exactness unaffected)
+            for wi in (1, 3):   # dil_w, rs_w in PARAM_ORDER
+                w = weights[wi]
+                p = (-w.shape[-1]) % 128
+                if p:
+                    weights[wi] = jnp.pad(
+                        w, [(0, 0)] * (w.ndim - 1) + [(0, p)])
         # carried state aliases: inputs are [t0, 9 weights, cond, sel, ring,
         # y_state] -> ring (input 12) aliases output 1, y_state (13) output 2
         n_w = len(PARAM_ORDER)
         aliases = {1 + n_w + 2: 1, 1 + n_w + 3: 2}
+        scratch = [pltpu.VMEM(ring.shape, ring.dtype),
+                   pltpu.SemaphoreType.DMA(())]
+        if stream_weights:
+            pad128 = lambda n: -(-n // 128) * 128  # noqa: E731
+            scratch += [pltpu.VMEM((2, 2 * R, pad128(2 * R)), weight_dtype),
+                        pltpu.VMEM((2, R, pad128(R + S)), weight_dtype),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))]
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -390,8 +497,7 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
             out_specs=out_specs,
             out_shape=out_shape,
             input_output_aliases=aliases,
-            scratch_shapes=[pltpu.VMEM(ring.shape, ring.dtype),
-                            pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=scratch,
             interpret=interpret,
             # raise the scoped-VMEM cap: weights + ring + double-buffered
             # cond chunks legitimately use most of the core's ~128MB VMEM

@@ -47,6 +47,40 @@ def data_mesh(n: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n]).reshape(n), ("data",))
 
 
+def stage(mesh: Mesh, spec: P, x_local):
+    """Place host data into the sharded layout, multihost-correct.
+
+    Single-process: plain device_put (x_local is the full array).
+    Multi-process: x_local is THIS PROCESS's shard along the 'data'-sharded
+    dim(s); the global array is assembled with
+    `jax.make_array_from_process_local_data` — the JAX-native replacement for
+    the reference's per-rank DataLoader + DistributedSampler staging
+    (`/root/reference/pytorch/train.py:109-117`)."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x_local, sharding)
+    x_local = np.asarray(x_local)
+    gshape = list(x_local.shape)
+    for d, name in enumerate(spec):
+        if name is not None:
+            gshape[d] *= jax.process_count()
+    return jax.make_array_from_process_local_data(sharding, x_local,
+                                                  global_shape=tuple(gshape))
+
+
+def fetch_local(arr, batch_axis: int) -> np.ndarray:
+    """Host copy of the addressable (this-process) portion of a global array
+    sharded along `batch_axis` — each process reads back its own utterances,
+    mirroring the reference's per-rank output ownership.  Single-process:
+    the whole array."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = [(s.index[batch_axis].start or 0, np.asarray(s.data))
+              for s in arr.addressable_shards]
+    shards.sort(key=lambda t: t[0])
+    return np.concatenate([d for _, d in shards], axis=batch_axis)
+
+
 def sharded_generate_scan(params: Dict, cfg: WaveNetConfig, mesh: Mesh,
                           cond, selectors, mode: str = "sample"):
     """Batch-sharded generation with the XLA scan generator: weights
@@ -85,45 +119,61 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
                                       compute_dtype=jnp.float32,
                                       interpret: bool = False,
                                       prefold_cond: bool = False,
-                                      fast_math: bool = False):
-    """shard_map the fused Pallas persistent kernel over the 'data' axis:
-    every chip runs the whole network on its own utterances (weights
-    replicated in each chip's VMEM).  This is the multi-chip scaling mode —
-    utterances/sec scales linearly because the sample loop never leaves the
-    chip, mirroring the reference's per-block-group batch ownership
-    (`nv_wavenet_singleblock.cuh:264`).
+                                      fast_math: bool = False,
+                                      dump: bool = False,
+                                      stream_weights: bool = False):
+    """shard_map the fused Pallas kernel (VMEM-resident or HBM-streaming
+    weights) over the 'data' axis: every chip runs the whole network on its
+    own utterances (weights replicated in each chip's VMEM).  This is the
+    multi-chip scaling mode — utterances/sec scales linearly because the
+    sample loop never leaves the chip, mirroring the reference's
+    per-block-group batch ownership (`nv_wavenet_singleblock.cuh:264`).
 
     Returned callable has the engine-facing signature
     `(params, scalars [t0, n_valid, seed] int32[3], cond, sel, ring,
     y_state) -> (y, ring', y_state')` with global (unsharded) shapes; the
-    ring is the lane-packed persistent state (`persistent.init_ring`)."""
+    ring is the lane-packed persistent state (`persistent.init_ring`).
+
+    dump=True appends the activation-dump outputs; every dump array is
+    per-utterance, so the shards concatenate on the batch axis — the mesh
+    version of the reference's dumpActivations getter surface
+    (`nv_wavenet.cuh:424-444`)."""
     from jax import shard_map
 
     gen = persistent.make_persistent_generator(
         cfg, batch_per_device, chunk, mode=mode, weight_dtype=weight_dtype,
         compute_dtype=compute_dtype, interpret=interpret,
-        prefold_cond=prefold_cond, fast_math=fast_math)
+        prefold_cond=prefold_cond, fast_math=fast_math, dump=dump,
+        stream_weights=stream_weights)
 
     def local_gen(params, scalars, cond, sel, ring, y_state):
         # decorrelate mode="prng" draws across shards: the kernel reseeds
         # additively per absolute sample index (seed + t), so the per-shard
         # stride must exceed any realistic sample count or shard k+1 would
-        # replay shard k's stream shifted by the stride.  0x9E3779B1 (golden
+        # replay shard k's stream shifted by the stride.  0x9E3779B9 (golden
         # ratio) keeps streams ~2^31 steps apart.
         seed = (scalars[2]
                 + jax.lax.axis_index("data").astype(jnp.int32)
                 * jnp.int32(-1640531527))  # 0x9E3779B9 as int32
         out = gen(params, scalars[0:1], cond, sel, ring, y_state,
                   n_valid=scalars[1], seed=seed)
-        return tuple(out[:3])
+        return tuple(out)
 
     param_spec = jax.tree.map(lambda _: P(), dict.fromkeys(
         persistent.PARAM_ORDER, 0))
+
+    out_specs = [P(None, "data"), P(None, "data", None), P(None, "data")]
+    if dump:
+        # xt [L, B, R], skip [L, B, S]: batch is dim 1; zs/za/p [B, A]: dim 0
+        out_specs += [P(None, "data", None), P(None, "data", None),
+                      P("data"), P("data"), P("data")]
+    if mode == "forced":
+        out_specs += [P(None, "data", None)]       # p_seq [T, B, A]
 
     sharded = shard_map(
         local_gen, mesh=mesh,
         in_specs=(param_spec, P(None), P(None, None, "data", None),
                   P(None, "data"), P(None, "data", None), P(None, "data")),
-        out_specs=(P(None, "data"), P(None, "data", None), P(None, "data")),
+        out_specs=tuple(out_specs),
         check_vma=False)
     return jax.jit(sharded)

@@ -154,8 +154,12 @@ def test_manyblock_prng_mode_chunk_invariant():
 
 def test_manyblock_bf16_weight_streaming():
     """weight_dtype=bfloat16 on MANYBLOCK streams cast weights (half the
-    HBM traffic of the bound path); output stays a valid near-fp32 sequence
-    and the cast cache refreshes when weights change."""
+    HBM traffic of the bound path).  bf16 weight storage is deterministic
+    (exactly-rounded cast + canonical fp32 math), so MANYBLOCK and
+    PERSISTENT must emit IDENTICAL integer sequences under it — the same
+    cross-implementation exact-match contract as fp32 (distribution bounds
+    vs fp32 live in tests/test_low_precision.py).  Also checks the cast
+    cache refreshes when weights change."""
     cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
     import jax.numpy as jnp
     ref_w, cond, sel = make_case(cfg, 2, 6, seed=41)
@@ -163,18 +167,15 @@ def test_manyblock_bf16_weight_streaming():
     eng.set_reference_weights(ref_w)
     eng.set_inputs(cond, sel)
     y1 = eng.run(6, 2)
-    assert eng._params_cast is not None
-    assert eng._params_cast["dil_w"].dtype == jnp.bfloat16
-    # fp32 engine on the same inputs: bf16 weights must agree on most steps
-    ref = make_engine(cfg, 2, Impl.MANYBLOCK)
-    ref.set_reference_weights(ref_w)
-    ref.set_inputs(cond, sel)
-    y0 = ref.run(6, 2)
-    assert np.mean(y0 == y1) > 0.5
-    # weight update invalidates the cast cache
+    # exact cross-implementation match under bf16 weights
+    per = make_engine(cfg, 2, Impl.PERSISTENT, weight_dtype=jnp.bfloat16)
+    per.set_reference_weights(ref_w)
+    per.set_inputs(cond, sel)
+    y_per = per.run(6, 2)
+    assert np.array_equal(y1, y_per)
+    # weight updates take effect (upload invalidation)
     ref_w2 = params_lib.random_reference_weights(cfg, seed=42)
     eng.set_reference_weights(ref_w2)
-    assert eng._params_cast is None
     eng.set_inputs(cond, sel)
     y2 = eng.run(6, 2)
     assert not np.array_equal(y1, y2)
@@ -226,3 +227,48 @@ def test_device_resident_inputs_and_weights():
     b.set_inputs(jnp.asarray(cond), jnp.asarray(sel))
     y_dev = b.run(8, 2)
     assert np.array_equal(y_host, y_dev)
+
+
+def test_streaming_feed_default_selectors_chunk_invariant():
+    """With selectors=None, feed's default sampling stream is keyed on the
+    ABSOLUTE sample index, so the generated audio must not depend on how the
+    caller chunks the conditioning."""
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    B, T = 2, 12
+    ref_w, cond, _ = make_case(cfg, B, T, seed=83)
+
+    def run_with_chunking(chunks):
+        eng = make_engine(cfg, B, Impl.MANYBLOCK)
+        eng.sampling_seed = 11
+        eng.set_reference_weights(ref_w)
+        eng.begin_stream(B)
+        outs, off = [], 0
+        for n in chunks:
+            outs.append(eng.feed(cond[off:off + n]))
+            off += n
+        return np.concatenate(outs, axis=1)
+
+    y_a = run_with_chunking([12])
+    y_b = run_with_chunking([5, 1, 6])
+    y_c = run_with_chunking([3, 3, 3, 3])
+    assert np.array_equal(y_a, y_b)
+    assert np.array_equal(y_a, y_c)
+
+
+def test_mesh_batch_divisibility_asserts_early():
+    """A batch not divisible by the mesh 'data' axis must fail with a clear
+    message in set_inputs/begin_stream, not deep inside shard_map."""
+    import pytest
+
+    from nv_wavenet_tpu.parallel import mesh as mesh_lib
+
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    eng = WaveNetInfer(num_layers=4, max_dilation=4, R=32, S=128, A=256,
+                       max_batch=4, chunk_size=8, interpret=True,
+                       mesh=mesh_lib.data_mesh(2))
+    ref_w, cond, sel = make_case(cfg, 3, 8, seed=87)
+    eng.set_reference_weights(ref_w)
+    with pytest.raises(AssertionError, match="not divisible"):
+        eng.set_inputs(cond, sel)
+    with pytest.raises(AssertionError, match="not divisible"):
+        eng.begin_stream(3)

@@ -141,3 +141,46 @@ def test_mesh_engine_streaming_feed():
         outs.append(eng.feed(cond[off:off + n], sel[off:off + n]))
         off += n
     assert np.array_equal(np.concatenate(outs, axis=1), y_gold)
+
+
+def test_mesh_engine_dump_activations():
+    """dump_activations under a mesh: per-shard dump outputs concatenate on
+    the batch axis, so the full getter surface works exactly like
+    single-device (the reference's dumpActivations + getters,
+    `nv_wavenet.cuh:424-444`) — previously asserted out under a mesh."""
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+    from nv_wavenet_tpu.models.golden import WaveNetGolden
+    from tests.test_golden_vs_scan import rel_close
+
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+    B, T = 8, 8
+    ref_w = params_lib.random_reference_weights(cfg, seed=57)
+    rng = np.random.RandomState(9)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+
+    golden = WaveNetGolden(cfg, B, T)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_gold = golden.run(T, B)
+
+    for impl in (None, Impl.MANYBLOCK):
+        kw = {} if impl is None else {"implementation": impl}
+        eng = WaveNetInfer(num_layers=cfg.num_layers,
+                           max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                           A=cfg.A, max_batch=B, chunk_size=8, interpret=True,
+                           mesh=mesh_lib.data_mesh(4), **kw)
+        eng.set_reference_weights(ref_w)
+        eng.set_inputs(cond, sel)
+        y = eng.run(T, B, dump_activations=True)
+        assert np.array_equal(y, y_gold)
+        for l in range(cfg.num_layers):
+            assert rel_close(golden.get_xt_out(l), eng.get_xt_out(l), 1e-2,
+                             atol=3e-4)
+            assert rel_close(golden.get_skip_out(l), eng.get_skip_out(l),
+                             1e-2, atol=3e-4)
+        assert rel_close(golden.get_zs(), eng.get_zs(), 1e-4, atol=2e-5)
+        assert rel_close(golden.get_za(), eng.get_za(), 1e-4, atol=2e-5)
+        assert rel_close(golden.get_p(), eng.get_p(), 1e-3)
+        assert np.allclose(eng.get_p().sum(-1), 1.0, atol=1e-5)

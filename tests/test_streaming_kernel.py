@@ -1,0 +1,152 @@
+"""HBM-streaming (MANYBLOCK) Pallas kernel tests.
+
+The stream_weights=True variant of the fused kernel keeps the per-layer
+dil/rs weight stacks in HBM and double-buffers their per-layer DMA (layer
+l+1 copies while layer l computes) — the TPU-native replacement for the
+reference's manyblock launch (`/root/reference/nv_wavenet_persistent.cuh:
+521-568`, `README.md:17`: "for models too large for register-file
+residency").  Contract: bit-identical to the VMEM-resident kernel (the DMA
+moves the same bytes; math order is unchanged), hence exact-match vs golden.
+
+Runs in interpreter mode on CPU; hardware rates are recorded by
+tools/baseline_sweep.py (BASELINE config 4 forced-streaming row).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+from nv_wavenet_tpu.models import params as params_lib
+from nv_wavenet_tpu.models.golden import WaveNetGolden
+from nv_wavenet_tpu.ops import persistent
+
+from tests.test_golden_vs_scan import make_case
+
+
+def run_stream(cfg, params, cond, sel, batch, chunk, t0=0, ring=None,
+               y_state=None, **kw):
+    T = cond.shape[0]
+    pad = (-T) % chunk
+    if pad:
+        cond = np.concatenate([cond, np.zeros((pad,) + cond.shape[1:],
+                                              cond.dtype)])
+        sel = np.concatenate([sel, np.zeros((pad, batch), sel.dtype)])
+    gen = persistent.make_persistent_generator(
+        cfg, batch, chunk, interpret=True, stream_weights=True, **kw)
+    if ring is None:
+        ring = persistent.init_ring(cfg, batch)
+    if y_state is None:
+        y_state = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
+    out = gen(params, np.array([t0]), jnp.asarray(cond), jnp.asarray(sel),
+              ring, y_state, n_valid=T)
+    return np.asarray(out[0])[:T].T, out[1], out[2]
+
+
+CONFIGS = [
+    (WaveNetConfig(num_layers=8, R=32, S=128, A=256, max_dilation=8), 2, 16, 8),
+    (WaveNetConfig(num_layers=10, R=64, S=128, A=256, max_dilation=4), 2, 8, 8),
+    (WaveNetConfig(num_layers=6, R=64, S=256, A=256, max_dilation=8), 3, 8, 8),
+]
+
+
+@pytest.mark.parametrize("cfg,batch,samples,chunk", CONFIGS)
+def test_streaming_kernel_matches_golden(cfg, batch, samples, chunk):
+    ref_w, cond, sel = make_case(cfg, batch, samples, seed=53)
+    golden = WaveNetGolden(cfg, max_batch=batch, max_samples=samples)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_gold = golden.run(samples, batch)
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    y, _, _ = run_stream(cfg, params, cond, sel, batch, chunk)
+    assert np.array_equal(y_gold, y)
+
+
+def test_streaming_equals_resident_kernel_bitwise():
+    """Same bytes, same math order: the streamed-weights kernel must emit the
+    IDENTICAL integer sequence as the VMEM-resident kernel."""
+    from tests.test_persistent_kernel import run_kernel
+
+    cfg = WaveNetConfig(num_layers=8, R=32, S=128, A=256, max_dilation=8)
+    B, T, chunk = 2, 24, 8
+    ref_w, cond, sel = make_case(cfg, B, T, seed=59)
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    y_res, _, _, _ = run_kernel(cfg, params, cond, sel, B, chunk)
+    y_str, _, _ = run_stream(cfg, params, cond, sel, B, chunk)
+    assert np.array_equal(y_res, y_str)
+
+
+def test_streaming_state_carries_across_calls():
+    """Chunked run_partial parity under weight streaming: carried ring +
+    y_state across two calls equals one full run (ragged split)."""
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+    B, chunk = 2, 8
+    ref_w, cond, sel = make_case(cfg, B, 19, seed=61)
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    y_full, _, _ = run_stream(cfg, params, cond, sel, B, chunk)
+    y1, ring, ys = run_stream(cfg, params, cond[:11], sel[:11], B, chunk)
+    y2, _, _ = run_stream(cfg, params, cond[11:], sel[11:], B, chunk,
+                          t0=11, ring=ring, y_state=ys)
+    assert np.array_equal(y_full, np.concatenate([y1, y2], axis=1))
+
+
+def test_streaming_bf16_weights_match_resident_bf16():
+    """bf16 weight storage halves the streamed bytes; it must remain
+    bit-identical to the resident kernel under the same bf16 cast."""
+    from tests.test_persistent_kernel import run_kernel
+
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+    B, T, chunk = 2, 16, 8
+    ref_w, cond, sel = make_case(cfg, B, T, seed=67)
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    y_str, _, _ = run_stream(cfg, params, cond, sel, B, chunk,
+                             weight_dtype=jnp.bfloat16)
+    gen = persistent.make_persistent_generator(
+        cfg, B, chunk, weight_dtype=jnp.bfloat16, interpret=True)
+    ring = persistent.init_ring(cfg, B)
+    ys = jnp.full((2, B), cfg.silence_bin, jnp.int32)
+    out = gen(params, np.array([0]), jnp.asarray(cond), jnp.asarray(sel),
+              ring, ys, n_valid=T)
+    y_res = np.asarray(out[0]).T
+    assert np.array_equal(y_str, y_res)
+
+
+def test_engine_manyblock_uses_streaming_kernel_and_matches_golden():
+    """Engine MANYBLOCK resolves to the streaming kernel (sample/argmax
+    modes) and still exact-matches the golden model through the public API,
+    including ragged run_chunks."""
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+    B, T = 2, 15
+    ref_w, cond, sel = make_case(cfg, B, T, seed=71)
+    golden = WaveNetGolden(cfg, max_batch=B, max_samples=T)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_gold = golden.run(T, B)
+
+    eng = WaveNetInfer(num_layers=6, max_dilation=4, R=32, S=128, A=256,
+                       max_batch=B, implementation=Impl.MANYBLOCK,
+                       chunk_size=8, interpret=True)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, sel)
+    y = eng.run_chunks(7, lambda yc, off, n: None, T, B)
+    assert np.array_equal(y_gold, y)
+    # the cached generator is the streaming variant
+    assert any(k[-1] for k in eng._gen_cache), "expected stream=True in cache"
+
+
+def test_stream_vmem_estimate_excludes_layer_weight_stacks():
+    """The MANYBLOCK VMEM plan keeps only two double-buffered per-layer
+    weight tiles resident (that is its point): vs the resident plan it must
+    save approximately the full dil/rs stack footprint.  (The conditioning
+    stream still scales with L in both plans — it is an activation input.)"""
+    big = WaveNetConfig(num_layers=40, R=128, S=256, A=256, max_dilation=512)
+    e_stream = persistent.estimate_vmem_bytes(big, 64, 64, stream=True)
+    e_resident = persistent.estimate_vmem_bytes(big, 64, 64, stream=False)
+    # 40L fp32 stacks: dil 40*256*256*4 + rs 40*128*384*4 ~ 18.3 MB
+    assert e_resident - e_stream > 15 * 1024 * 1024

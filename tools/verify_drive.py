@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Hardware verification drive: the canonical golden cross-check on the real
+TPU through the public engine API (see .claude/skills/verify/SKILL.md).
+
+Covers: ragged run_chunks exact-match, MANYBLOCK (HBM-streaming kernel) vs
+PERSISTENT identity, bf16-weights cross-impl identity, dump-mode p
+normalization, and streaming feed parity — all compiled on hardware.
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    from nv_wavenet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.config import WaveNetConfig
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+    from nv_wavenet_tpu.models import params as params_lib
+    from nv_wavenet_tpu.models.golden import WaveNetGolden
+
+    print("devices:", jax.devices(), flush=True)
+    cfg = WaveNetConfig(num_layers=20, R=64, S=128, A=256, max_dilation=8)
+    B, T = 4, 32
+    ref_w = params_lib.random_reference_weights(cfg, seed=77)
+    rng = np.random.RandomState(7)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+
+    gold = WaveNetGolden(cfg, B, T)
+    gold.set_reference_weights(ref_w)
+    gold.set_inputs(cond, sel)
+    y_gold = gold.run(T, B)
+
+    def make(impl, **kw):
+        eng = WaveNetInfer(num_layers=20, max_dilation=8, R=64, S=128, A=256,
+                           max_batch=B, chunk_size=8, implementation=impl,
+                           **kw)
+        eng.set_reference_weights(ref_w)
+        eng.set_inputs(cond, sel)
+        return eng
+
+    t0 = time.time()
+    eng = make(Impl.AUTO)
+    y = eng.run_chunks(13, lambda yc, off, n: None, T, B)   # ragged chunks
+    assert np.array_equal(y, y_gold), "PERSISTENT ragged-chunk mismatch"
+    print(f"PERSISTENT ragged run_chunks exact-match OK "
+          f"({time.time() - t0:.0f}s incl. compile)", flush=True)
+
+    t0 = time.time()
+    engm = make(Impl.MANYBLOCK)
+    ym = engm.run_chunks(13, lambda yc, off, n: None, T, B)
+    assert np.array_equal(ym, y_gold), "MANYBLOCK (streaming) mismatch"
+    print(f"MANYBLOCK streaming-kernel exact-match OK "
+          f"({time.time() - t0:.0f}s incl. compile)", flush=True)
+
+    # bf16 weights: MANYBLOCK == PERSISTENT bit-identical on hardware
+    t0 = time.time()
+    e1 = make(Impl.PERSISTENT, weight_dtype=jnp.bfloat16)
+    e2 = make(Impl.MANYBLOCK, weight_dtype=jnp.bfloat16)
+    y1, y2 = e1.run(T, B), e2.run(T, B)
+    assert np.array_equal(y1, y2), "bf16 cross-impl mismatch"
+    print(f"bf16-weights cross-impl identity OK ({time.time() - t0:.0f}s)",
+          flush=True)
+
+    # dump mode
+    eng.set_inputs(cond, sel)
+    yd = eng.run(T, B, dump_activations=True)
+    assert np.array_equal(yd, y_gold)
+    psum = eng.get_p().sum(-1)
+    assert np.allclose(psum, 1.0, atol=1e-5), psum
+    print("dump mode OK (p sums to 1)", flush=True)
+
+    # streaming feed parity (ragged chunks over the same conditioning)
+    eng.begin_stream(B)
+    outs, off = [], 0
+    for n in (13, 6, 13):
+        outs.append(eng.feed(cond[off:off + n], sel[off:off + n]))
+        off += n
+    yf = np.concatenate(outs, axis=1)
+    assert np.array_equal(yf, y_gold), "feed parity mismatch"
+    print("streaming feed exact-match OK", flush=True)
+
+    # error surfaces
+    try:
+        WaveNetInfer(num_layers=20, max_dilation=8, max_batch=B).run(8, B)
+        raise SystemExit("expected assertion for run-before-set_inputs")
+    except AssertionError as e:
+        assert "set_inputs" in str(e)
+    print("ALL HARDWARE CHECKS PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()
