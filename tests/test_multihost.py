@@ -1,0 +1,138 @@
+"""Multi-host (process-level) distributed test: 2 processes x 2 virtual CPU
+devices, rendezvoused through `jax.distributed.initialize` on a localhost
+coordinator — the TPU-native analog of the reference's multi-process NCCL
+bring-up (`/root/reference/pytorch/distributed.py:43-53,145-171`).
+
+Covers, across REAL process boundaries:
+  * sharded training step (per-process local batch staging via
+    `jax.make_array_from_process_local_data`, grad all-reduce over the
+    collective backend) with identical loss on every process,
+  * collective orbax checkpointing into a SINGLE checkpoint directory with
+    rank-0-only logging/metrics (the reference's rank gating,
+    `train.py:149-154`),
+  * sharded generation through the public engine API with per-process batch
+    shards, exact-matching the golden model's corresponding utterances.
+
+The worker is this file's __main__; the test spawns it twice.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _worker(pid: int, nproc: int, port: int, tmpdir: str):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 2 * nproc
+
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.train import trainer
+    from nv_wavenet_tpu.train.data import DataConfig, Mel2Samp, synthetic_clips
+
+    # ---- sharded training with per-process batch shards ----
+    mesh = trainer.make_mesh(2 * nproc, 1)
+    model = trainer.create_model({
+        "n_layers": 2, "max_dilation": 2, "n_residual_channels": 16,
+        "n_skip_channels": 32, "n_out_channels": 256, "n_cond_channels": 16,
+        "upsamp_window": 32, "upsamp_stride": 16})
+    data_cfg = DataConfig(segment_length=128, filter_length=64, hop_length=16,
+                          win_length=64, n_mel_channels=16, mel_fmax=4000.0)
+    ds = Mel2Samp(synthetic_clips(n_clips=8, length=512), data_cfg, seed=3)
+    # per-process local batch (DistributedSampler analog: rank shard)
+    batches = ds.epoch_batches(batch_size=2, epochs=None, rank=pid,
+                               world_size=nproc)
+    tcfg = trainer.TrainConfig(batch_size=2, iters_per_checkpoint=2,
+                               with_tensorboard=True)
+    state, losses = trainer.train(model, tcfg, batches, num_iters=2,
+                                  mesh=mesh, ckpt_dir=tmpdir, log_every=1)
+    assert np.isfinite(losses[-1])
+    print(f"WORKER {pid} LOSS {losses[-1]:.9f}", flush=True)
+
+    # resume restores the collectively-saved checkpoint
+    restored, it = trainer.load_checkpoint(tmpdir, None, state)
+    assert it == 2, f"expected checkpoint at iteration 2, got {it}"
+
+    # ---- sharded generation via the public engine, per-process shards ----
+    from nv_wavenet_tpu.config import WaveNetConfig
+    from nv_wavenet_tpu.engine.wavenet_infer import WaveNetInfer
+    from nv_wavenet_tpu.models import params as params_lib
+    from nv_wavenet_tpu.models.golden import WaveNetGolden
+    from nv_wavenet_tpu.parallel import mesh as mesh_lib
+
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    Bg, Bl, T = 2 * nproc, 2, 8
+    ref_w = params_lib.random_reference_weights(cfg, seed=11)
+    rng = np.random.RandomState(5)   # same global inputs on every process
+    cond_g = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, Bg, 2 * cfg.R)
+                         ).astype(np.float32)
+    sel_g = rng.uniform(0, 1, (T, Bg)).astype(np.float32)
+
+    golden = WaveNetGolden(cfg, Bg, T)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond_g, sel_g)
+    y_gold = golden.run(T, Bg)
+
+    eng = WaveNetInfer(num_layers=4, max_dilation=4, R=32, S=128, A=256,
+                       max_batch=Bg, chunk_size=8, interpret=True,
+                       mesh=mesh_lib.data_mesh(2 * nproc))
+    eng.set_reference_weights(ref_w)
+    lo, hi = pid * Bl, (pid + 1) * Bl
+    eng.set_inputs(cond_g[:, :, lo:hi], sel_g[:, lo:hi])
+    y_local = eng.run(T, Bg)                     # -> [B_local, T]
+    assert y_local.shape == (Bl, T)
+    assert np.array_equal(y_local, y_gold[lo:hi]), (
+        f"proc {pid}: sharded generation != golden shard")
+    print(f"WORKER {pid} GENERATION_OK", flush=True)
+
+
+def test_two_process_distributed(tmp_path):
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    portno = port.getsockname()[1]
+    port.close()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), str(i), "2",
+         str(portno), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"WORKER {i} GENERATION_OK" in out
+
+    # identical (all-reduced) loss on every process
+    losses = [ln.split()[-1] for out in outs for ln in out.splitlines()
+              if ln.startswith("WORKER") and "LOSS" in ln]
+    assert len(losses) == 2 and losses[0] == losses[1], losses
+
+    # exactly ONE checkpoint directory (collective orbax save, no
+    # per-process duplicates) and rank-0-only logging/metrics
+    ckpts = sorted(d for d in os.listdir(tmp_path) if d.startswith("it_"))
+    assert ckpts == ["it_2"], ckpts
+    assert (tmp_path / "metrics.jsonl").exists()
+    # the non-chief process printed no per-iteration loss lines
+    assert any(ln.startswith("0:") for ln in outs[0].splitlines())
+    assert not any(ln.startswith("0:") for ln in outs[1].splitlines())
+
+
+if __name__ == "__main__":
+    _worker(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+            sys.argv[4])
