@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-f", "--files", help="text file listing mel .npy paths")
     ap.add_argument("-c", "--checkpoint_dir")
@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--config", default="configs/config.json")
     ap.add_argument("--demo", action="store_true",
                     help="untrained model + synthetic mels (integration test)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp

@@ -15,12 +15,12 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-f", "--files", required=True)
     ap.add_argument("-o", "--output_dir", required=True)
     ap.add_argument("-c", "--config", default="configs/config.json")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from nv_wavenet_tpu.train.data import (data_config_from_json, load_wav,
                                            mel_spectrogram)
