@@ -45,3 +45,30 @@ def test_argmax_trajectory_scores_higher_than_random():
     rand_audio = jnp.asarray(rng.randint(0, 256, (B, T)), jnp.int32)
     _, bits_rand = scoring.score_teacher_forced(params, cfg, cond, rand_audio)
     assert np.all(np.asarray(bits_own) < np.asarray(bits_rand))
+
+
+def test_kernel_scorer_matches_scan_scorer():
+    """The fused-kernel forced-mode scorer must reproduce the scan scorer's
+    per-sample log-probabilities (same math; p-vs-log_softmax rounding only)
+    including at a non-chunk-aligned length."""
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.models import params as params_lib
+
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    B, T = 3, 21
+    ref_w = params_lib.random_reference_weights(cfg, seed=91)
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    rng = np.random.RandomState(4)
+    cond = jnp.asarray(rng.uniform(
+        -0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)).astype(np.float32))
+    audio = rng.randint(0, 256, size=(B, T)).astype(np.int32)
+
+    logp_scan, bits_scan = scoring.score_teacher_forced(params, cfg, cond,
+                                                        jnp.asarray(audio))
+    logp_k, bits_k = scoring.score_teacher_forced_kernel(
+        params, cfg, cond, audio, chunk=8, interpret=True)
+    assert logp_k.shape == (B, T - 1)
+    assert np.allclose(np.asarray(logp_scan), logp_k, atol=2e-5)
+    assert np.allclose(np.asarray(bits_scan), bits_k, atol=1e-5)
