@@ -43,3 +43,42 @@ def score_teacher_forced(params: Dict, cfg: WaveNetConfig, cond: jax.Array,
     logp = jnp.take_along_axis(logp_all, targets, axis=-1)[..., 0].T  # [B,T-1]
     bits = -jnp.mean(logp, axis=-1) / jnp.log(2.0)
     return logp, bits
+
+
+def score_teacher_forced_kernel(params: Dict, cfg: WaveNetConfig, cond,
+                                audio, chunk: int = 256,
+                                interpret: bool = False
+                                ) -> Tuple[np.ndarray, np.ndarray]:
+    """`score_teacher_forced` on the fused Pallas kernel's native forced
+    mode (the selector stream carries the ground-truth symbols; the kernel
+    emits the per-step probability sequence) — the fast on-TPU scorer: one
+    kernel invocation instead of a scan program, with the kernel's VMEM
+    residency and DMA pipelining.
+
+    Same signature/semantics; returns numpy (logp [B, T-1], bits [B])."""
+    from nv_wavenet_tpu.ops import persistent
+
+    audio = np.asarray(audio)
+    B, T = audio.shape
+    Tm = T - 1
+    chunk = max(8, min(chunk, -(-Tm // 8) * 8) // 8 * 8)
+    pad = (-Tm) % chunk
+    forced = audio[:, 1:].T.astype(np.float32)                 # [T-1, B]
+    cond = np.asarray(cond[:Tm], np.float32)
+    if pad:
+        forced = np.concatenate([forced, np.zeros((pad, B), np.float32)])
+        cond = np.concatenate(
+            [cond, np.zeros((pad,) + cond.shape[1:], np.float32)])
+    gen = persistent.make_persistent_generator(cfg, B, chunk, mode="forced",
+                                               interpret=interpret)
+    ring = persistent.init_ring(cfg, B)
+    y_state = jnp.stack([jnp.full((B,), cfg.silence_bin, jnp.int32),
+                         jnp.asarray(audio[:, 0], jnp.int32)])
+    out = gen(params, np.array([0]), jnp.asarray(cond), jnp.asarray(forced),
+              ring, y_state, n_valid=Tm)
+    p_seq = np.asarray(out[-1][:Tm], np.float64)               # [T-1, B, A]
+    tgt = audio[:, 1:].T[..., None]
+    p_tgt = np.take_along_axis(p_seq, tgt, axis=-1)[..., 0].T  # [B, T-1]
+    logp = np.log(np.maximum(p_tgt, 1e-30))
+    bits = -logp.mean(axis=-1) / np.log(2.0)
+    return logp.astype(np.float32), bits.astype(np.float32)
