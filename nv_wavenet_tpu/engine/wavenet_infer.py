@@ -70,6 +70,8 @@ class WaveNetInfer:
                  vmem_budget: int = DEFAULT_VMEM_BUDGET,
                  interpret: bool = False,
                  fast_math: bool = False,
+                 stream_group_size: int = 8,
+                 stream_prefetch: bool = False,
                  mesh=None):
         self.cfg = WaveNetConfig(num_layers=num_layers, R=R, S=S, A=A,
                                  max_dilation=max_dilation,
@@ -82,6 +84,11 @@ class WaveNetInfer:
         self.vmem_budget = vmem_budget
         self.interpret = interpret
         self.fast_math = fast_math  # fp32 storage, single-pass MXU (not exact)
+        # MANYBLOCK weight-streaming schedule knobs (exactness-neutral):
+        # layers per DMA group, and next-step group-0 prefetch under the
+        # output stack
+        self.stream_group_size = stream_group_size
+        self.stream_prefetch = stream_prefetch
         self.sampling_seed = 0  # used by mode="prng" (in-kernel TPU PRNG)
         # multi-chip batch sharding: a jax Mesh with a 'data' axis.  Weights
         # replicate, the utterance batch shards, and the sample loop stays
@@ -335,7 +342,8 @@ class WaveNetInfer:
 
     def _persistent_gen(self, batch, mode, dump, stream=False):
         chunk = self._effective_chunk(batch, stream)
-        key = ("persistent", batch, chunk, mode, dump, stream)
+        key = ("persistent", batch, chunk, mode, dump, stream,
+               self.stream_group_size, self.stream_prefetch)
         if key not in self._gen_cache:
             if self.mesh is not None:
                 from nv_wavenet_tpu.parallel import mesh as mesh_lib
@@ -345,7 +353,9 @@ class WaveNetInfer:
                     compute_dtype=self.compute_dtype,
                     interpret=self._interpret(), prefold_cond=True,
                     fast_math=self.fast_math, dump=dump,
-                    stream_weights=stream)
+                    stream_weights=stream,
+                    stream_group_size=self.stream_group_size,
+                    stream_prefetch=self.stream_prefetch)
             else:
                 self._gen_cache[key] = jax.jit(
                     persistent.make_persistent_generator(
@@ -354,7 +364,9 @@ class WaveNetInfer:
                         compute_dtype=self.compute_dtype,
                         interpret=self._interpret(),
                         fast_math=self.fast_math,
-                        prefold_cond=True, stream_weights=stream))
+                        prefold_cond=True, stream_weights=stream,
+                        stream_group_size=self.stream_group_size,
+                        stream_prefetch=self.stream_prefetch))
         return self._gen_cache[key]
 
     # ------------------------------------------------------------------

@@ -55,9 +55,16 @@ def _dot(a, b, precision):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
 
 
+def stream_group(L: int, group_size: int = 8):
+    """(group size, group count) for HBM weight streaming: `group_size`
+    layers per DMA (L padded up to a group multiple by `generate`)."""
+    G = min(group_size, L)
+    return G, -(-L // G)
+
+
 def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                  dump: bool, compute_dtype, precision, unroll, prefold_cond,
-                 rs_split, stream,
+                 rs_split, stream, stream_gs, stream_prefetch,
                  # refs (order fixed by the pallas_call below):
                  t0_ref,                                   # scalar prefetch
                  embed, dil_w, dil_b, rs_w, rs_b, out_w, out_b, end_w, end_b,
@@ -90,31 +97,48 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
     i = pl.program_id(0)
 
     if stream:
-        def _layer_dma(l):
-            slot = l % 2
-            return (pltpu.make_async_copy(dil_w.at[pl.ds(l, 1)],
-                                          dil_buf.at[pl.ds(slot, 1)],
+        # weights stream in GROUPS of STREAM_GROUP layers per DMA: per-DMA
+        # issue/wait overhead (~0.25 us) dominates at one-layer granularity
+        # (2L waits/step), so batching layers into group copies cuts the
+        # per-step DMA count ~8x while the double buffer still overlaps
+        # group g+1's copy with group g's G*2 matmuls
+        G, nG = stream_group(L, stream_gs)
+
+        def _group_dma(g, slot):
+            return (pltpu.make_async_copy(dil_w.at[pl.ds(g * G, G)],
+                                          dil_buf.at[slot],
                                           dil_sem.at[slot]),
-                    pltpu.make_async_copy(rs_w.at[pl.ds(l, 1)],
-                                          rs_buf.at[pl.ds(slot, 1)],
+                    pltpu.make_async_copy(rs_w.at[pl.ds(g * G, G)],
+                                          rs_buf.at[slot],
                                           rs_sem.at[slot]))
 
-        def layer_weights(l):
-            # start layer l+1's HBM->VMEM copies before consuming layer l's:
-            # the copy engine runs under layer l's two matmuls
-            if l == 0:
-                for cp in _layer_dma(0):
-                    cp.start()
-            if l + 1 < L:
-                for cp in _layer_dma(l + 1):
-                    cp.start()
-            for cp in _layer_dma(l):
-                cp.wait()
+        def layer_weights(l, t_call):
+            g, r = divmod(l, G)
+            if r == 0:
+                # start group g+1's HBM->VMEM copies before consuming group
+                # g's: the copy engine runs under group g's 2G matmuls
+                if g == 0:
+                    if stream_prefetch:
+                        # group 0 was prefetched during the PREVIOUS step's
+                        # output stack; only the call's first step starts it
+                        @pl.when(t_call == 0)
+                        def _():
+                            for cp in _group_dma(0, 0):
+                                cp.start()
+                    else:
+                        for cp in _group_dma(0, 0):
+                            cp.start()
+                if g + 1 < nG:
+                    for cp in _group_dma(g + 1, (g + 1) % 2):
+                        cp.start()
+                for cp in _group_dma(g, g % 2):
+                    cp.wait()
             # the stacks' minor dim is padded to the 128-lane tiling
             # (Mosaic requires aligned HBM memref slices); drop the pad
-            return dil_buf[l % 2][:, :2 * R], rs_buf[l % 2][:, :R + S]
+            return (dil_buf[g % 2, r][:, :2 * R],
+                    rs_buf[g % 2, r][:, :R + S])
     else:
-        def layer_weights(l):
+        def layer_weights(l, t_call):
             return dil_w[l], rs_w[l]
 
     # The ring (carried dilation-FIFO state) lives in HBM between calls and
@@ -169,7 +193,7 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
             q = lane_slots[l] * R
             x_prev = ring[pl.ds(slot, 1)][0, :, q:q + R]   # [B, R] = x^l_{t-d}
             ring[pl.ds(slot, 1), :, q:q + R] = x.astype(ring.dtype)[None]
-            dw, rw = layer_weights(l)   # VMEM-resident or HBM-streamed
+            dw, rw = layer_weights(l, i * chunk + j)
             xcat = jnp.concatenate([x_prev.astype(compute_dtype), x], axis=-1)
             z = _dot(xcat, dw.astype(compute_dtype), precision)
             if prefold_cond:
@@ -204,6 +228,16 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
             if dump:
                 dump_refs[0][l] = x.astype(jnp.float32)       # xt [L, B, R]
                 dump_refs[1][l] = skip                        # skip [L, B, S]
+
+        if stream and stream_prefetch:
+            # prefetch the NEXT step's first weight group under this step's
+            # output stack + sampling (slot 0's group was consumed in the
+            # layer loop); the condition matches exactly the steps that will
+            # execute, so every start is paired with one wait
+            @pl.when(i * chunk + j + 1 < t0_ref[1])
+            def _():
+                for cp in _group_dma(0, 0):
+                    cp.start()
 
         skip = jnp.maximum(skip, 0.0)
         if dump:
@@ -320,8 +354,9 @@ def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
     L, R, S, A, B = cfg.num_layers, cfg.R, cfg.S, cfg.A, batch
     wb, ab = weight_bytes, act_bytes
     if stream:
-        layer_weights = (2 * _padded_bytes((2 * R, 2 * R), wb)
-                         + 2 * _padded_bytes((R, R + S), wb))
+        G, _ = stream_group(L)
+        layer_weights = (2 * G * _padded_bytes((2 * R, 2 * R), wb)
+                         + 2 * G * _padded_bytes((R, R + S), wb))
     else:
         layer_weights = (_padded_bytes((L, 2 * R, 2 * R), wb)
                          + _padded_bytes((L, R, R + S), wb))
@@ -354,7 +389,9 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                               fast_math: bool = False,
                               prefold_cond: bool = False,
                               rs_split: bool = False,
-                              stream_weights: bool = False):
+                              stream_weights: bool = False,
+                              stream_group_size: int = 8,
+                              stream_prefetch: bool = False):
     # NOTE: Pallas TPU fori_loop supports only unroll=1 or full unroll
     # (=chunk); full unroll multiplies compile time by the chunk length.
     #
@@ -387,7 +424,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
 
     kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode, dump,
                                compute_dtype, precision, unroll, prefold_cond,
-                               rs_split, stream_weights)
+                               rs_split, stream_weights, stream_group_size,
+                               stream_prefetch)
 
     if stream_weights:
         # MANYBLOCK: the per-layer stacks stay in HBM; the kernel
@@ -469,15 +507,18 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                    else jnp.asarray(params[k], weight_dtype)[None]
                    for k in PARAM_ORDER]
         if stream_weights:
-            # pad the streamed stacks' minor dim to the 128-lane tiling:
-            # Mosaic requires HBM memref slices be tile-aligned; the kernel
-            # slices the pad columns off in VMEM (exactness unaffected)
+            # pad the streamed stacks' minor dim to the 128-lane tiling
+            # (Mosaic requires HBM memref slices be tile-aligned) and the
+            # layer dim to a group multiple; the kernel slices the pad off
+            # in VMEM / never consumes the pad layers (exactness unaffected)
+            G, nG = stream_group(L, stream_group_size)
             for wi in (1, 3):   # dil_w, rs_w in PARAM_ORDER
                 w = weights[wi]
                 p = (-w.shape[-1]) % 128
-                if p:
+                pl_ = nG * G - w.shape[0]
+                if p or pl_:
                     weights[wi] = jnp.pad(
-                        w, [(0, 0)] * (w.ndim - 1) + [(0, p)])
+                        w, [(0, pl_)] + [(0, 0)] * (w.ndim - 2) + [(0, p)])
         # carried state aliases: inputs are [t0, 9 weights, cond, sel, ring,
         # y_state] -> ring (input 12) aliases output 1, y_state (13) output 2
         n_w = len(PARAM_ORDER)
@@ -486,10 +527,12 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                    pltpu.SemaphoreType.DMA(())]
         if stream_weights:
             pad128 = lambda n: -(-n // 128) * 128  # noqa: E731
-            scratch += [pltpu.VMEM((2, 2 * R, pad128(2 * R)), weight_dtype),
-                        pltpu.VMEM((2, R, pad128(R + S)), weight_dtype),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA((2,))]
+            G, _ = stream_group(L, stream_group_size)
+            scratch += [
+                pltpu.VMEM((2, G, 2 * R, pad128(2 * R)), weight_dtype),
+                pltpu.VMEM((2, G, R, pad128(R + S)), weight_dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,))]
         return pl.pallas_call(
             kernel,
             grid=grid,

@@ -121,7 +121,9 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
                                       prefold_cond: bool = False,
                                       fast_math: bool = False,
                                       dump: bool = False,
-                                      stream_weights: bool = False):
+                                      stream_weights: bool = False,
+                                      stream_group_size: int = 8,
+                                      stream_prefetch: bool = False):
     """shard_map the fused Pallas kernel (VMEM-resident or HBM-streaming
     weights) over the 'data' axis: every chip runs the whole network on its
     own utterances (weights replicated in each chip's VMEM).  This is the
@@ -144,7 +146,8 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
         cfg, batch_per_device, chunk, mode=mode, weight_dtype=weight_dtype,
         compute_dtype=compute_dtype, interpret=interpret,
         prefold_cond=prefold_cond, fast_math=fast_math, dump=dump,
-        stream_weights=stream_weights)
+        stream_weights=stream_weights, stream_group_size=stream_group_size,
+        stream_prefetch=stream_prefetch)
 
     def local_gen(params, scalars, cond, sel, ring, y_state):
         # decorrelate mode="prng" draws across shards: the kernel reseeds

@@ -136,8 +136,9 @@ def test_engine_manyblock_uses_streaming_kernel_and_matches_golden():
     eng.set_inputs(cond, sel)
     y = eng.run_chunks(7, lambda yc, off, n: None, T, B)
     assert np.array_equal(y_gold, y)
-    # the cached generator is the streaming variant
-    assert any(k[-1] for k in eng._gen_cache), "expected stream=True in cache"
+    # the cached generator is the streaming variant (key:
+    # (tag, batch, chunk, mode, dump, stream, group_size, prefetch))
+    assert any(k[5] for k in eng._gen_cache), "expected stream=True in cache"
 
 
 def test_stream_vmem_estimate_excludes_layer_weight_stacks():
@@ -148,5 +149,33 @@ def test_stream_vmem_estimate_excludes_layer_weight_stacks():
     big = WaveNetConfig(num_layers=40, R=128, S=256, A=256, max_dilation=512)
     e_stream = persistent.estimate_vmem_bytes(big, 64, 64, stream=True)
     e_resident = persistent.estimate_vmem_bytes(big, 64, 64, stream=False)
-    # 40L fp32 stacks: dil 40*256*256*4 + rs 40*128*384*4 ~ 18.3 MB
-    assert e_resident - e_stream > 15 * 1024 * 1024
+    # 40L fp32 stacks ~18.3 MB resident vs 2 double-buffered 8-layer group
+    # tiles ~7.3 MB -> ~11 MB saved (saving grows with L; buffers don't)
+    assert e_resident - e_stream > 10 * 1024 * 1024
+    huge = WaveNetConfig(num_layers=80, R=128, S=256, A=256, max_dilation=512)
+    assert (persistent.estimate_vmem_bytes(huge, 64, 64, stream=False)
+            - persistent.estimate_vmem_bytes(huge, 64, 64, stream=True)
+            > 25 * 1024 * 1024)
+
+
+@pytest.mark.parametrize("gs,prefetch", [(1, False), (3, False), (8, True),
+                                         (4, True)])
+def test_streaming_variants_exact(gs, prefetch):
+    """Group size and next-step group-0 prefetch are pure scheduling knobs:
+    every variant must stay bit-identical to the golden model, including
+    carried state across a ragged call split (where DMA start/wait pairing
+    across steps is most delicate)."""
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+    B, chunk = 2, 8
+    ref_w, cond, sel = make_case(cfg, B, 19, seed=73)
+    golden = WaveNetGolden(cfg, max_batch=B, max_samples=19)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_gold = golden.run(19, B)
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    kw = dict(stream_group_size=gs, stream_prefetch=prefetch)
+    y1, ring, ys = run_stream(cfg, params, cond[:11], sel[:11], B, chunk, **kw)
+    y2, _, _ = run_stream(cfg, params, cond[11:], sel[11:], B, chunk,
+                          t0=11, ring=ring, y_state=ys, **kw)
+    assert np.array_equal(y_gold, np.concatenate([y1, y2], axis=1))

@@ -22,7 +22,7 @@ import numpy as np
 
 
 def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
-               check_golden_samples=0):
+               check_golden_samples=0, compute_dtype=None, fast_math=False):
     import jax
     import jax.numpy as jnp
 
@@ -30,10 +30,13 @@ def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
     from nv_wavenet_tpu.models import params as params_lib
     from nv_wavenet_tpu.models.golden import WaveNetGolden
 
+    import jax.numpy as _jnp
     eng = WaveNetInfer(num_layers=cfg.num_layers, max_dilation=cfg.max_dilation,
                        R=cfg.R, S=cfg.S, A=cfg.A, max_batch=batch,
                        implementation=impl, chunk_size=chunk,
-                       weight_dtype=weight_dtype)
+                       weight_dtype=weight_dtype,
+                       compute_dtype=compute_dtype or _jnp.float32,
+                       fast_math=fast_math)
     ref_w = params_lib.random_reference_weights(cfg, seed=1)
     eng.set_reference_weights(ref_w)
     # conditioning generated ON DEVICE (production conditioning comes from
@@ -70,7 +73,9 @@ def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
            "khz_per_utt": round(best, 2), "khz_total": round(best * batch, 1),
            "batch": batch, "samples": T,
            "weight_dtype": str(np.dtype(weight_dtype).name
-                               if weight_dtype == np.float32 else "bfloat16")}
+                               if weight_dtype == np.float32 else "bfloat16"),
+           "compute": "bf16" if compute_dtype is not None else "fp32",
+           "fast_math": fast_math}
     if exact is not None:
         rec["exact_match_vs_golden"] = exact
     print(json.dumps(rec), flush=True)
@@ -118,6 +123,18 @@ def main():
         WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512),
         16, T, 256, Impl.PERSISTENT, "sample", jnp.float32,
         check_golden_samples=g))
+    # fast modes on the flagship (distribution-allclose contract,
+    # tests/test_low_precision.py + tools/lowprec_tpu.py)
+    flagship = WaveNetConfig(num_layers=20, R=64, S=256, A=256,
+                             max_dilation=512)
+    recs.append(run_config("5b_flagship_bf16_weights", flagship, 16, T, 256,
+                           Impl.PERSISTENT, "sample", jnp.bfloat16))
+    recs.append(run_config("5c_flagship_bf16_compute", flagship, 16, T, 256,
+                           Impl.PERSISTENT, "sample", jnp.bfloat16,
+                           compute_dtype=jnp.bfloat16))
+    recs.append(run_config("5d_flagship_fast_math", flagship, 16, T, 256,
+                           Impl.PERSISTENT, "sample", jnp.float32,
+                           fast_math=True))
     print(json.dumps({"all": recs}, indent=1))
 
 

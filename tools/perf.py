@@ -50,7 +50,9 @@ def build_engine(args, impl, batch, chunk):
                         R=args.r_chans, S=args.s_chans, A=args.a_chans,
                         max_batch=batch, implementation=impl,
                         chunk_size=chunk, weight_dtype=wdt,
-                        compute_dtype=cdt, fast_math=args.fast_math)
+                        compute_dtype=cdt, fast_math=args.fast_math,
+                        stream_group_size=args.stream_gs,
+                        stream_prefetch=args.stream_prefetch)
 
 
 def device_inputs(args, T, batch):
@@ -179,6 +181,10 @@ def main():
                     choices=[16, 32])
     ap.add_argument("--compute", type=int, default=32, choices=[16, 32])
     ap.add_argument("--fast_math", action="store_true")
+    ap.add_argument("--stream_gs", type=int, default=8,
+                    help="MANYBLOCK: layers per weight-DMA group")
+    ap.add_argument("--stream_prefetch", action="store_true",
+                    help="MANYBLOCK: prefetch next step's first group")
     ap.add_argument("-t", "--iters", type=int, default=3)
     ap.add_argument("--sampling", default="sample",
                     choices=["sample", "argmax"])
