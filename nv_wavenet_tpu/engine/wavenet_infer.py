@@ -26,13 +26,12 @@ backed by a dump mode.  Differences are deliberate TPU-first design:
 from __future__ import annotations
 
 import enum
-import functools
 from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from nv_wavenet_tpu.config import WaveNetConfig
 from nv_wavenet_tpu.models import params as params_lib

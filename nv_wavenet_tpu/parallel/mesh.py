@@ -18,7 +18,6 @@ gradient allreduce) with JAX-native sharding:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax
