@@ -170,15 +170,19 @@ class WaveNetGolden:
     # -- generation -----------------------------------------------------------
 
     def run(self, num_samples: int, batch_size: int,
-            init_sample: int = 0, mode: str = "sample") -> np.ndarray:
+            init_sample: int = 0, mode: str = "sample",
+            forced_y: "np.ndarray | None" = None) -> np.ndarray:
         """Generate samples [init_sample, init_sample + num_samples).
 
         Returns y: [batch, num_samples] int32.  `mode`: "sample" uses the
         injected selectors (exact-match contract); "argmax" takes the argmax
-        of the logits (deterministic decode).  State (activation history and
-        yPrev/yCur) persists across calls so chunked runs match one full run,
-        mirroring `run_partial` with init_sample != 0
-        (`nv_wavenet.cuh:499-509`).
+        of the logits (deterministic decode); "forced" consumes the
+        ground-truth symbols `forced_y` [batch, num_samples] (teacher
+        forcing — the oracle for the kernel's mode="forced"; the per-step
+        probabilities are kept and readable via `get_p_seq`).  State
+        (activation history and yPrev/yCur) persists across calls so chunked
+        runs match one full run, mirroring `run_partial` with
+        init_sample != 0 (`nv_wavenet.cuh:499-509`).
         """
         cfg = self.cfg
         L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
@@ -190,6 +194,9 @@ class WaveNetGolden:
             # full activation history: x input of each layer at each time
             self._hist = np.zeros((self.max_samples, L + 1, B, R), np.float32)
 
+        if mode == "forced":
+            assert forced_y is not None and forced_y.shape == (B, num_samples)
+            self._p_seq = np.zeros((num_samples, B, A), np.float32)
         y_out = np.zeros((B, num_samples), np.int32)
         for s in range(init_sample, init_sample + num_samples):
             x = self._embed_prev[self._y_prev] + self._embed_cur[self._y_cur]
@@ -217,6 +224,9 @@ class WaveNetGolden:
             self._zs[:B], self._za[:B], self._p[:B] = zs, za, p
             if mode == "argmax":
                 y = np.argmax(za, axis=-1).astype(np.int32)
+            elif mode == "forced":
+                self._p_seq[s - init_sample] = p
+                y = forced_y[:, s - init_sample].astype(np.int32)
             else:
                 y = select_sample(p, self._selectors[s, :B], cfg.silence_bin)
             self._y_prev = self._y_cur
@@ -225,6 +235,12 @@ class WaveNetGolden:
         return y_out
 
     # -- activation getters (dump mode parity, `nv_wavenet.cuh:424-438`) ------
+
+    def get_p_seq(self) -> np.ndarray:
+        """[T, B, A] per-step probabilities of the last mode='forced' run."""
+        assert getattr(self, "_p_seq", None) is not None, (
+            "run with mode='forced' first")
+        return self._p_seq.copy()
 
     def get_xt_out(self, layer: int) -> np.ndarray:
         return self._xt_out[layer].copy()

@@ -51,7 +51,7 @@ def hot_case(cfg: WaveNetConfig, batch: int, samples: int, seed: int):
     sel = rng.uniform(0, 1, (samples, batch)).astype(np.float32)
     params = {k: jnp.asarray(v)
               for k, v in params_lib.to_canonical(ref_w, cfg).items()}
-    return params, cond, sel
+    return params, cond, sel, ref_w
 
 
 def softmax64(za: np.ndarray) -> np.ndarray:
@@ -112,7 +112,7 @@ CFG = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=8)
 @pytest.fixture(scope="module")
 def forced_case():
     B, T = 8, 256                           # T*B = 2048 distribution samples
-    params, cond, sel = hot_case(CFG, B, T, seed=7)
+    params, cond, sel, _ = hot_case(CFG, B, T, seed=7)
     forced = free_run_forced(CFG, params, cond, sel)
     p32 = scan_forced_probs(CFG, params, cond, sel, forced, jnp.float32)
     return params, cond, sel, forced, p32
@@ -185,7 +185,7 @@ def test_bf16_weights_kernel_scan_exact_match():
     carried to bf16 weights)."""
     cfg = CFG
     B, T = 4, 48
-    params, cond, sel = hot_case(cfg, B, T, seed=31)
+    params, cond, sel, _ = hot_case(cfg, B, T, seed=31)
 
     # scan path: engine-MANYBLOCK-style pre-cast to bf16 (upcast inside)
     params_bf = {k: v.astype(jnp.bfloat16) for k, v in params.items()}
@@ -205,3 +205,30 @@ def test_bf16_weights_kernel_scan_exact_match():
     assert np.array_equal(y_scan, y_kern), (
         f"bf16-weights kernel/scan diverged: "
         f"{np.mean(y_scan == y_kern):.3f} agreement")
+
+
+def test_kernel_forced_mode_matches_golden_oracle():
+    """Three-way oracle check of teacher forcing: the numpy golden's
+    mode='forced' per-step probabilities must match the kernel's forced-mode
+    p sequence (fp32, same canonical order) and the scan's forced logits —
+    plus the forced runs must echo the forced symbols and leave state such
+    that a subsequent free run continues exactly."""
+    from nv_wavenet_tpu.models.golden import WaveNetGolden
+
+    cfg = CFG
+    B, T = 4, 24
+    params, cond, sel, ref_w = hot_case(cfg, B, T, seed=47)
+    forced = free_run_forced(cfg, params, cond, sel)        # [T, B]
+
+    golden = WaveNetGolden(cfg, B, T)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_g = golden.run(T, B, mode="forced", forced_y=forced.T)
+    assert np.array_equal(y_g, forced.T)
+    p_gold = golden.get_p_seq().astype(np.float64)
+    p_gold = p_gold / p_gold.sum(-1, keepdims=True)
+
+    p_kern = kernel_forced_probs(cfg, params, cond, forced, B)
+    assert np.abs(p_kern - p_gold).max() < 1e-5
+    p_scan = scan_forced_probs(cfg, params, cond, sel, forced, jnp.float32)
+    assert np.abs(p_scan[:T] - p_gold).max() < 1e-5

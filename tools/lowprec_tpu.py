@@ -31,7 +31,7 @@ def main():
     # the distribution contract needs ~2k vectors)
     cfg = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512)
     B, T, chunk = 8, 256, 64
-    params, cond, sel = hot_case(cfg, B, T, seed=7)
+    params, cond, sel, _ = hot_case(cfg, B, T, seed=7)
 
     def kernel_run(mode, sel_arr, **kw):
         gen = persistent.make_persistent_generator(cfg, B, chunk, mode=mode,
