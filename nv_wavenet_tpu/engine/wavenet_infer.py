@@ -26,6 +26,7 @@ backed by a dump mode.  Differences are deliberate TPU-first design:
 from __future__ import annotations
 
 import enum
+import functools
 from typing import Callable, Dict, Optional
 
 import jax
@@ -35,7 +36,7 @@ from jax.sharding import PartitionSpec as P
 
 from nv_wavenet_tpu.config import WaveNetConfig
 from nv_wavenet_tpu.models import params as params_lib
-from nv_wavenet_tpu.ops import persistent, scan_generate
+from nv_wavenet_tpu.ops import fused_chain, persistent, scan_generate
 
 
 class Impl(enum.Enum):
@@ -71,6 +72,7 @@ class WaveNetInfer:
                  fast_math: bool = False,
                  stream_group_size: int = 8,
                  stream_prefetch: bool = False,
+                 fuse_chain: bool = False,
                  mesh=None):
         self.cfg = WaveNetConfig(num_layers=num_layers, R=R, S=S, A=A,
                                  max_dilation=max_dilation,
@@ -88,6 +90,15 @@ class WaveNetInfer:
         # output stack
         self.stream_group_size = stream_group_size
         self.stream_prefetch = stream_prefetch
+        # collapsed-chain fast decode (ops/fused_chain.py): shortens the
+        # dependent per-sample matmul chain from 2L+3 to ~L+5 by folding the
+        # residual stream into precomputed weights.  NOT bit-exact (fp32
+        # sums reassociate) — governed by the teacher-forced distribution
+        # contract like bf16/fast_math.  Activation-dump runs always use the
+        # exact kernel (the getters are a debug surface).
+        self.fuse_chain = fuse_chain
+        if fuse_chain:
+            assert mesh is None, "fuse_chain under a mesh is not supported yet"
         self.sampling_seed = 0  # used by mode="prng" (in-kernel TPU PRNG)
         # multi-chip batch sharding: a jax Mesh with a 'data' axis.  Weights
         # replicate, the utterance batch shards, and the sample loop stays
@@ -278,9 +289,15 @@ class WaveNetInfer:
         multiple (interpret-mode tests don't enforce this; hardware does)."""
         wb = self._weight_bytes()
         b_dev = self._per_device(batch)
+        if self.fuse_chain and not stream:
+            est = functools.partial(fused_chain.estimate_vmem_bytes,
+                                    self.cfg, b_dev, weight_bytes=wb)
+        else:
+            est = functools.partial(persistent.estimate_vmem_bytes,
+                                    self.cfg, b_dev, weight_bytes=wb,
+                                    stream=stream)
         chunk = max(8, self.chunk_size - self.chunk_size % 8)
-        while chunk > 8 and persistent.estimate_vmem_bytes(
-                self.cfg, b_dev, chunk, wb, stream=stream) > self.vmem_budget:
+        while chunk > 8 and est(chunk=chunk) > self.vmem_budget:
             chunk //= 2
         return max(8, chunk - chunk % 8)
 
@@ -341,10 +358,20 @@ class WaveNetInfer:
 
     def _persistent_gen(self, batch, mode, dump, stream=False):
         chunk = self._effective_chunk(batch, stream)
-        key = ("persistent", batch, chunk, mode, dump, stream,
+        fused = self.fuse_chain and not stream and not dump
+        key = ("persistent", batch, chunk, mode, dump, stream, fused,
                self.stream_group_size, self.stream_prefetch)
         if key not in self._gen_cache:
-            if self.mesh is not None:
+            if fused:
+                self._gen_cache[key] = jax.jit(
+                    fused_chain.make_fused_generator(
+                        self.cfg, batch, chunk, mode=mode,
+                        weight_dtype=self.weight_dtype,
+                        compute_dtype=self.compute_dtype,
+                        interpret=self._interpret(),
+                        fast_math=self.fast_math,
+                        prefold_cond=True))
+            elif self.mesh is not None:
                 from nv_wavenet_tpu.parallel import mesh as mesh_lib
                 self._gen_cache[key] = mesh_lib.make_sharded_persistent_generator(
                     self.cfg, self.mesh, self._per_device(batch), chunk,

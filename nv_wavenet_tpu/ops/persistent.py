@@ -55,6 +55,47 @@ def _dot(a, b, precision):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
 
 
+def softmax_canonical(za):
+    """Stable softmax in the contract's canonical fp32 order (max-subtract,
+    exp, divide by the row sum) — shared by the persistent and fused-chain
+    kernels so the sampler consumes identical values."""
+    m = jnp.max(za, axis=-1, keepdims=True)
+    e = jnp.exp(za - m)
+    ssum = jnp.sum(e, axis=-1, keepdims=True)
+    return e / ssum
+
+
+def fixed_tree_select(p, sel_t, A: int, silence_bin: int):
+    """Inverse-CDF selection over the FIXED-TREE prefix sum (Hillis-Steele
+    shift-and-add): the identical fp32 association as the numpy golden /
+    C++ oracle / scan generator, so sampled integers match bit-for-bit by
+    construction (a tri-matmul's MXU summation order differs by ~1 ulp and
+    flips a sample whenever a selector lands in the gap); also log2(A) VPU
+    adds instead of a 24-pass matmul on the critical path.  p: [B, A],
+    sel_t: [B, 1]."""
+    B = p.shape[0]
+    cum = p
+    k = 1
+    while k < A:
+        cum = cum + jnp.concatenate(
+            [jnp.zeros((B, k), jnp.float32), cum[:, :-k]], axis=-1)
+        k *= 2
+    idx = jnp.sum((cum <= sel_t).astype(jnp.int32), axis=-1)
+    return jnp.where(idx < A, idx, silence_bin).astype(jnp.int32)
+
+
+def prng_uniform_sel(seed_plus_t, B: int):
+    """Device-side per-step uniform [0,1) selector column (the cuRAND
+    analog), keyed on the absolute sample index so draws are independent of
+    chunking and run_partial boundaries.  Returns [B, 1] fp32."""
+    pltpu.prng_seed(seed_plus_t)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((B, 128)), jnp.int32)
+    # top 24 bits -> uniform [0, 1); int32 path because Mosaic lacks a
+    # uint32->float32 cast
+    u24 = jax.lax.shift_right_logical(bits[:, :1], 8)
+    return u24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+
 def stream_group(L: int, group_size: int = 8):
     """(group size, group count) for HBM weight streaming: `group_size`
     layers per DMA (L padded up to a group multiple by `generate`)."""
@@ -251,10 +292,7 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
         if mode != "argmax" or dump:
             # stable softmax: needed for sampling and for the dump-mode p
             # getter; pure argmax decode reads za directly
-            m = jnp.max(za, axis=-1, keepdims=True)
-            e = jnp.exp(za - m)
-            ssum = jnp.sum(e, axis=-1, keepdims=True)
-            p = e / ssum
+            p = softmax_canonical(za)
         if dump:
             dump_refs[2][...] = zs
             dump_refs[3][...] = za
@@ -268,34 +306,13 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
             y = sel[j].astype(jnp.int32)
             p_seq[pl.ds(j, 1)] = p[None]
         else:
-            # inverse-CDF selection over the FIXED-TREE prefix sum
-            # (Hillis-Steele shift-and-add): the identical fp32 association
-            # as the numpy golden / C++ oracle / scan generator, so sampled
-            # integers match bit-for-bit by construction (a tri-matmul's
-            # MXU summation order differs by ~1 ulp and flips a sample
-            # whenever a selector lands in the gap); also 8 VPU adds
-            # instead of a 24-pass matmul on the critical path
-            cum = p
-            k = 1
-            while k < A:
-                cum = cum + jnp.concatenate(
-                    [jnp.zeros((B, k), jnp.float32), cum[:, :-k]], axis=-1)
-                k *= 2
+            # injected-selector (or prng) inverse-CDF sampling over the
+            # canonical fixed-tree prefix sum — see fixed_tree_select
             if mode == "prng":
-                # device-side sampling randomness (the cuRAND analog): reseed
-                # per absolute sample index so draws are independent of the
-                # chunking and of run_partial boundaries
-                pltpu.prng_seed(t0_ref[2] + t)
-                bits = pltpu.bitcast(pltpu.prng_random_bits((B, 128)),
-                                     jnp.int32)
-                # top 24 bits -> uniform [0, 1); int32 path because Mosaic
-                # lacks a uint32->float32 cast
-                u24 = jax.lax.shift_right_logical(bits[:, :1], 8)
-                sel_t = u24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+                sel_t = prng_uniform_sel(t0_ref[2] + t, B)
             else:
                 sel_t = sel[j][:, None]                        # [B, 1]
-            idx = jnp.sum((cum <= sel_t).astype(jnp.int32), axis=-1)
-            y = jnp.where(idx < A, idx, cfg.silence_bin).astype(jnp.int32)
+            y = fixed_tree_select(p, sel_t, A, cfg.silence_bin)
 
         y_state_out[0, :] = y_cur
         y_state_out[1, :] = y

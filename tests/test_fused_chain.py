@@ -1,0 +1,157 @@
+"""Collapsed-chain ("fused") fast-decode kernel correctness
+(`ops/fused_chain.py`).
+
+The fused kernel folds the residual-stream algebra into precomputed weights
+(G_l = [Wres_j Wcur_l]_j), shortening the dependent per-sample matmul chain
+from 2L+3 to ~L+5.  The fold reassociates fp32 sums, so this mode is
+governed by the teacher-forced DISTRIBUTION contract (the same methodology
+as the bf16/fast_math paths, see tests/test_low_precision.py), not the
+bit-exact contract.  Measured fp32 fold error on the hot case is ~5e-6 TV;
+the bounds below are ~100x that, and a math/order bug puts TV near 1.
+
+There is no reference analog (the reference has no fast decode mode); the
+closest mechanism is its --use_fast_math build
+(`/root/reference/Makefile:30-35`) whose correctness bar is p@1e-3
+(`/root/reference/nv_wavenet_test.cu:296-298`).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+from nv_wavenet_tpu.ops import fused_chain, persistent, scan_generate
+
+from tests.test_low_precision import (CFG, free_run_forced, hot_case,
+                                      scan_forced_probs, tv)
+
+
+def fused_forced_probs(cfg, params, cond, forced, batch, **gen_kw):
+    T = cond.shape[0]
+    gen = fused_chain.make_fused_generator(cfg, batch, 8, mode="forced",
+                                           interpret=True, **gen_kw)
+    ring = persistent.init_ring(cfg, batch)
+    y_state = jnp.full((2, batch), cfg.silence_bin, jnp.int32)
+    out = gen(params, np.array([0]), jnp.asarray(cond),
+              jnp.asarray(forced.astype(np.float32)), ring, y_state,
+              n_valid=T)
+    assert np.array_equal(np.asarray(out[0]), forced), "forced echo failed"
+    p = np.asarray(out[-1], np.float64)
+    return p / p.sum(-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def fused_case():
+    B, T = 8, 64
+    params, cond, sel, _ = hot_case(CFG, B, T, seed=7)
+    forced = free_run_forced(CFG, params, cond, sel)[:T]
+    p32 = scan_forced_probs(CFG, params, cond, sel, forced,
+                            jnp.float32)[:T]
+    return params, cond[:T], sel[:T], forced, p32
+
+
+def test_fused_forced_distribution_matches_fp32(fused_case):
+    """fp32 fused kernel: per-step probabilities match the exact fp32 path to
+    reassociation-level error (TV ~5e-6 measured; bound 100x)."""
+    params, cond, sel, forced, p32 = fused_case
+    p_f = fused_forced_probs(CFG, params, cond, forced, 8)
+    t = tv(p32, p_f)
+    assert t.max() < 5e-4, f"max TV {t.max():.2e}"
+    assert np.abs(p_f - p32).max() < 5e-4
+
+
+def test_fused_free_run_agrees_with_scan(fused_case):
+    """Free-running fused generation follows the exact-path trajectory (the
+    fold error is far below selector-gap scale on this case)."""
+    params, cond, sel, forced, _ = fused_case
+    B, T = 8, cond.shape[0]
+    gen = fused_chain.make_fused_generator(CFG, B, 8, interpret=True)
+    ys = jnp.full((2, B), CFG.silence_bin, jnp.int32)
+    out = gen(params, np.array([0]), jnp.asarray(cond), jnp.asarray(sel),
+              persistent.init_ring(CFG, B), ys, n_valid=T)
+    agree = np.mean(np.asarray(out[0]) == forced)
+    assert agree >= 0.99, f"free-run agreement {agree:.3f}"
+
+
+def test_fused_argmax_matches_scan(fused_case):
+    params, cond, sel, forced, _ = fused_case
+    B, T = 8, cond.shape[0]
+    gen = fused_chain.make_fused_generator(CFG, B, 8, mode="argmax",
+                                           interpret=True)
+    ys = jnp.full((2, B), CFG.silence_bin, jnp.int32)
+    out = gen(params, np.array([0]), jnp.asarray(cond), jnp.asarray(sel),
+              persistent.init_ring(CFG, B), ys, n_valid=T)
+    st = scan_generate.init_state(CFG, B)
+    _, y_am, _ = scan_generate.generate(params, st, jnp.asarray(cond),
+                                        jnp.asarray(sel), CFG, mode="argmax")
+    agree = np.mean(np.asarray(out[0]) == np.asarray(y_am).T)
+    assert agree >= 0.99, f"argmax agreement {agree:.3f}"
+
+
+def test_fused_bf16_weights_distribution(fused_case):
+    """bf16 weight storage of the FOLDED tensors meets the same distribution
+    bounds as the standard kernel's bf16-weights mode."""
+    params, cond, sel, forced, p32 = fused_case
+    p_bf = fused_forced_probs(CFG, params, cond, forced, 8,
+                              weight_dtype=jnp.bfloat16)
+    t = tv(p32, p_bf)
+    msg = f"mean TV {t.mean():.5f} max {t.max():.5f}"
+    assert t.mean() < 0.02 and t.max() < 0.15, msg
+
+
+def test_fused_ragged_chunk_state_carry(fused_case):
+    """Ragged run boundaries: generating 24 then 40 samples through carried
+    ring/y_state equals one 64-sample run (n_valid masking + ring DMA)."""
+    params, cond, sel, forced, _ = fused_case
+    B, T = 8, cond.shape[0]
+    gen = fused_chain.make_fused_generator(CFG, B, 8, interpret=True)
+    ys0 = jnp.full((2, B), CFG.silence_bin, jnp.int32)
+
+    out_full = gen(params, np.array([0]), jnp.asarray(cond),
+                   jnp.asarray(sel), persistent.init_ring(CFG, B), ys0,
+                   n_valid=T)
+    y_full = np.asarray(out_full[0])
+
+    t_split = 24
+    ring, ys = persistent.init_ring(CFG, B), ys0
+    c1 = jnp.pad(jnp.asarray(cond[:t_split]), ((0, 8 - t_split % 8),
+                                               (0, 0), (0, 0), (0, 0)))
+    s1 = jnp.pad(jnp.asarray(sel[:t_split]), ((0, 8 - t_split % 8), (0, 0)))
+    out1 = gen(params, np.array([0]), c1, s1, ring, ys, n_valid=t_split)
+    y1, ring, ys = np.asarray(out1[0])[:t_split], out1[1], out1[2]
+    out2 = gen(params, np.array([t_split]), jnp.asarray(cond[t_split:]),
+               jnp.asarray(sel[t_split:]), ring, ys, n_valid=T - t_split)
+    y2 = np.asarray(out2[0])
+    assert np.array_equal(np.concatenate([y1, y2], 0), y_full)
+
+
+def test_engine_fuse_chain_flag(fused_case):
+    """WaveNetInfer(fuse_chain=True) routes PERSISTENT runs through the
+    fused kernel and stays on the exact kernel for dump runs; outputs agree
+    with the exact engine on this case."""
+    params, cond, sel, forced, _ = fused_case
+    B, T = 8, cond.shape[0]
+
+    def mk(fused):
+        eng = WaveNetInfer(num_layers=CFG.num_layers,
+                           max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                           A=CFG.A, max_batch=B,
+                           implementation=Impl.PERSISTENT, chunk_size=8,
+                           fuse_chain=fused)
+        eng.set_canonical_params({k: np.asarray(v)
+                                  for k, v in params.items()})
+        eng.set_inputs(np.asarray(cond), np.asarray(sel))
+        return eng
+
+    y_exact = mk(False).run(T, B)
+    eng_f = mk(True)
+    y_fused = eng_f.run(T, B)
+    agree = np.mean(y_exact == y_fused)
+    assert agree >= 0.99, f"engine fused agreement {agree:.3f}"
+    # dump runs fall back to the exact kernel (getter surface) and match the
+    # exact path bit-for-bit
+    y_dump = eng_f.run(T, B, dump_activations=True)
+    assert np.array_equal(y_dump, y_exact)
+    assert eng_f.get_p().shape == (B, CFG.A)

@@ -54,11 +54,31 @@ def main():
     p32 = probs()
     print("fp32 forced probs done", flush=True)
 
+    def fused_probs(**kw):
+        from nv_wavenet_tpu.ops import fused_chain
+        gen = fused_chain.make_fused_generator(cfg, B, chunk, mode="forced",
+                                               **kw)
+        ring = persistent.init_ring(cfg, B)
+        ys = jnp.full((2, B), cfg.silence_bin, jnp.int32)
+        out = gen(params, np.array([0]), jnp.asarray(cond),
+                  jnp.asarray(forced), ring, ys, n_valid=T)
+        p = np.asarray(out[-1], np.float64)
+        return p / p.sum(-1, keepdims=True)
+
     results = {}
-    for label, kw in [("bf16_weights", dict(weight_dtype=jnp.bfloat16)),
-                      ("bf16_compute", dict(compute_dtype=jnp.bfloat16)),
-                      ("fast_math", dict(fast_math=True))]:
-        p = probs(**kw)
+    for label, pf, kw in [
+            ("bf16_weights", probs, dict(weight_dtype=jnp.bfloat16)),
+            ("bf16_compute", probs, dict(compute_dtype=jnp.bfloat16)),
+            ("fast_math", probs, dict(fast_math=True)),
+            # collapsed-chain fast decode (ops/fused_chain.py): fp32 fold,
+            # and the fast variants it is designed to pair with
+            ("fused_fp32", fused_probs, {}),
+            ("fused_bf16_weights", fused_probs,
+             dict(weight_dtype=jnp.bfloat16)),
+            ("fused_fast_math", fused_probs, dict(fast_math=True)),
+            ("fused_bf16_compute", fused_probs,
+             dict(compute_dtype=jnp.bfloat16))]:
+        p = pf(**kw)
         t = 0.5 * np.abs(p - p32).sum(-1)
         results[label] = {"mean_tv": round(float(t.mean()), 5),
                           "p99_tv": round(float(np.percentile(t, 99)), 5),

@@ -20,6 +20,9 @@ Flags (reference mapping):
   --compute 32|16    compute dtype (16 = bf16 activations+matmul inputs)
   --fast_math        fp32 storage, single-pass DEFAULT-precision matmuls
                      (the --use_fast_math analog; not bit-exact)
+  --fused            collapsed-chain fast decode (ops/fused_chain.py):
+                     dependent chain ~L+5 instead of 2L+3 matmuls/step;
+                     distribution-contract accuracy, not bit-exact
   -t iterations      timing repetitions (default 3; steady-state
                       average over back-to-back runs reported)
   --sweep            sweep mode x batch x chunk (the reference's documented
@@ -52,7 +55,8 @@ def build_engine(args, impl, batch, chunk):
                         chunk_size=chunk, weight_dtype=wdt,
                         compute_dtype=cdt, fast_math=args.fast_math,
                         stream_group_size=args.stream_gs,
-                        stream_prefetch=args.stream_prefetch)
+                        stream_prefetch=args.stream_prefetch,
+                        fuse_chain=args.fused)
 
 
 def device_inputs(args, T, batch):
@@ -181,6 +185,10 @@ def main():
                     choices=[16, 32])
     ap.add_argument("--compute", type=int, default=32, choices=[16, 32])
     ap.add_argument("--fast_math", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="collapsed-chain fast decode (ops/fused_chain.py): "
+                         "~L+5 dependent matmuls/step instead of 2L+3; "
+                         "distribution-contract accuracy, not bit-exact")
     ap.add_argument("--stream_gs", type=int, default=8,
                     help="MANYBLOCK: layers per weight-DMA group")
     ap.add_argument("--stream_prefetch", action="store_true",
