@@ -97,8 +97,6 @@ class WaveNetInfer:
         # contract like bf16/fast_math.  Activation-dump runs always use the
         # exact kernel (the getters are a debug surface).
         self.fuse_chain = fuse_chain
-        if fuse_chain:
-            assert mesh is None, "fuse_chain under a mesh is not supported yet"
         self.sampling_seed = 0  # used by mode="prng" (in-kernel TPU PRNG)
         # multi-chip batch sharding: a jax Mesh with a 'data' axis.  Weights
         # replicate, the utterance batch shards, and the sample loop stays
@@ -362,16 +360,7 @@ class WaveNetInfer:
         key = ("persistent", batch, chunk, mode, dump, stream, fused,
                self.stream_group_size, self.stream_prefetch)
         if key not in self._gen_cache:
-            if fused:
-                self._gen_cache[key] = jax.jit(
-                    fused_chain.make_fused_generator(
-                        self.cfg, batch, chunk, mode=mode,
-                        weight_dtype=self.weight_dtype,
-                        compute_dtype=self.compute_dtype,
-                        interpret=self._interpret(),
-                        fast_math=self.fast_math,
-                        prefold_cond=True))
-            elif self.mesh is not None:
+            if self.mesh is not None:
                 from nv_wavenet_tpu.parallel import mesh as mesh_lib
                 self._gen_cache[key] = mesh_lib.make_sharded_persistent_generator(
                     self.cfg, self.mesh, self._per_device(batch), chunk,
@@ -381,7 +370,17 @@ class WaveNetInfer:
                     fast_math=self.fast_math, dump=dump,
                     stream_weights=stream,
                     stream_group_size=self.stream_group_size,
-                    stream_prefetch=self.stream_prefetch)
+                    stream_prefetch=self.stream_prefetch,
+                    fuse_chain=fused)
+            elif fused:
+                self._gen_cache[key] = jax.jit(
+                    fused_chain.make_fused_generator(
+                        self.cfg, batch, chunk, mode=mode,
+                        weight_dtype=self.weight_dtype,
+                        compute_dtype=self.compute_dtype,
+                        interpret=self._interpret(),
+                        fast_math=self.fast_math,
+                        prefold_cond=True))
             else:
                 self._gen_cache[key] = jax.jit(
                     persistent.make_persistent_generator(

@@ -122,7 +122,8 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
                                       dump: bool = False,
                                       stream_weights: bool = False,
                                       stream_group_size: int = 8,
-                                      stream_prefetch: bool = False):
+                                      stream_prefetch: bool = False,
+                                      fuse_chain: bool = False):
     """shard_map the fused Pallas kernel (VMEM-resident or HBM-streaming
     weights) over the 'data' axis: every chip runs the whole network on its
     own utterances (weights replicated in each chip's VMEM).  This is the
@@ -141,12 +142,23 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
     (`nv_wavenet.cuh:424-444`)."""
     from jax import shard_map
 
-    gen = persistent.make_persistent_generator(
-        cfg, batch_per_device, chunk, mode=mode, weight_dtype=weight_dtype,
-        compute_dtype=compute_dtype, interpret=interpret,
-        prefold_cond=prefold_cond, fast_math=fast_math, dump=dump,
-        stream_weights=stream_weights, stream_group_size=stream_group_size,
-        stream_prefetch=stream_prefetch)
+    if fuse_chain and not stream_weights and not dump:
+        # collapsed-chain fast decode (ops/fused_chain.py): same call
+        # signature and state format, so the shard_map wrapper is identical;
+        # the weight fold runs replicated per shard (one-time, tiny)
+        from nv_wavenet_tpu.ops import fused_chain
+        gen = fused_chain.make_fused_generator(
+            cfg, batch_per_device, chunk, mode=mode,
+            weight_dtype=weight_dtype, compute_dtype=compute_dtype,
+            interpret=interpret, prefold_cond=prefold_cond,
+            fast_math=fast_math)
+    else:
+        gen = persistent.make_persistent_generator(
+            cfg, batch_per_device, chunk, mode=mode, weight_dtype=weight_dtype,
+            compute_dtype=compute_dtype, interpret=interpret,
+            prefold_cond=prefold_cond, fast_math=fast_math, dump=dump,
+            stream_weights=stream_weights, stream_group_size=stream_group_size,
+            stream_prefetch=stream_prefetch)
 
     def local_gen(params, scalars, cond, sel, ring, y_state):
         # decorrelate mode="prng" draws across shards: the kernel reseeds

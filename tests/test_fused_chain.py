@@ -155,3 +155,27 @@ def test_engine_fuse_chain_flag(fused_case):
     y_dump = eng_f.run(T, B, dump_activations=True)
     assert np.array_equal(y_dump, y_exact)
     assert eng_f.get_p().shape == (B, CFG.A)
+
+
+def test_mesh_engine_fused(fused_case):
+    """fuse_chain under a 4-device mesh: batch shards, fused kernel per
+    shard; output agrees with the single-device fused engine."""
+    from nv_wavenet_tpu.parallel import mesh as mesh_lib
+
+    params, cond, sel, forced, _ = fused_case
+    B, T = 8, cond.shape[0]
+
+    def mk(mesh):
+        eng = WaveNetInfer(num_layers=CFG.num_layers,
+                           max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                           A=CFG.A, max_batch=B,
+                           implementation=Impl.PERSISTENT, chunk_size=8,
+                           fuse_chain=True, mesh=mesh)
+        eng.set_canonical_params({k: np.asarray(v)
+                                  for k, v in params.items()})
+        eng.set_inputs(np.asarray(cond), np.asarray(sel))
+        return eng
+
+    y_single = mk(None).run(T, B)
+    y_mesh = mk(mesh_lib.data_mesh(4)).run(T, B)
+    assert np.array_equal(y_single, y_mesh)
