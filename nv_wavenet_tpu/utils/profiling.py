@@ -65,6 +65,24 @@ class StepCost:
         floor — the kernel is latency-bound, not FLOP-bound."""
         return 1e6 / (self.critical_path_matmuls * stage_ns)
 
+    def fused_latency_floor_khz(self, cfg: WaveNetConfig,
+                                stage_ns: float = 200.0,
+                                ktile_ns: float = 8.5,
+                                passes: int = 1) -> float:
+        """Latency floor for the collapsed-chain kernel
+        (`ops/fused_chain.py`): the chain is embed -> w0 -> L gated matmuls
+        -> skip -> Zs -> Za = L+5 stages, but layer l's chain matmul
+        contracts over K = l*max(R,128) columns, adding `passes` MXU passes
+        per 128-wide K-tile beyond the first (~8.5 ns each at 940 MHz;
+        passes=1 for bf16/fast_math single-pass, ~3 for fp32 HIGHEST).
+        Shows why the fused mode pairs with single-pass matmuls: under
+        HIGHEST the K-pass term eats most of the chain savings."""
+        P = max(cfg.R, 128)
+        ktiles = sum(l * P // 128 for l in range(cfg.num_layers))
+        chain_ns = ((cfg.num_layers + 5) * stage_ns
+                    + ktiles * ktile_ns * passes)
+        return 1e6 / chain_ns
+
 
 def step_cost(cfg: WaveNetConfig) -> StepCost:
     L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
