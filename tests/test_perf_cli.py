@@ -49,3 +49,11 @@ def test_perf_sweep_ranked_table(capsys):
     assert "Best per-utterance:" in out
     # all 4 combinations measured
     assert out.count("-> ") == 4
+
+
+def test_perf_fused_mode(capsys):
+    """-m fused routes through the collapsed-chain kernel and reports."""
+    out = run_cli(capsys, TINY + ["-b", "2", "-m", "fused", "-c", "8"])
+    assert "Sample rate:" in out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["mode"] == "fused" and rec["khz_per_utterance"] > 0

@@ -14,8 +14,9 @@ Flags (reference mapping):
                       knob: sizes the per-grid-step conditioning chunk)
   -n num samples     (default 16384)
   -d max dilation    (default 512)
-  -m mode            auto | persistent | manyblock (single/dual map to
-                      persistent; reference `Implementation` enum parity)
+  -m mode            auto | persistent | manyblock | fused (single/dual map
+                      to persistent; reference `Implementation` enum parity;
+                      fused = persistent through the collapsed-chain kernel)
   -p precision       32 | 16 (16 = bfloat16 weights, fp32 accumulation)
   --compute 32|16    compute dtype (16 = bf16 activations+matmul inputs)
   --fast_math        fp32 storage, single-pass DEFAULT-precision matmuls
@@ -42,13 +43,15 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def build_engine(args, impl, batch, chunk):
+def build_engine(args, impl, batch, chunk, mode=None):
     import jax.numpy as jnp
 
     from nv_wavenet_tpu.engine.wavenet_infer import WaveNetInfer
 
     wdt = jnp.bfloat16 if args.precision == 16 else jnp.float32
     cdt = jnp.bfloat16 if args.compute == 16 else jnp.float32
+    # mode "fused" = PERSISTENT through the collapsed-chain kernel
+    fused = args.fused or mode == "fused"
     return WaveNetInfer(num_layers=args.layers, max_dilation=args.max_dilation,
                         R=args.r_chans, S=args.s_chans, A=args.a_chans,
                         max_batch=batch, implementation=impl,
@@ -56,7 +59,7 @@ def build_engine(args, impl, batch, chunk):
                         compute_dtype=cdt, fast_math=args.fast_math,
                         stream_group_size=args.stream_gs,
                         stream_prefetch=args.stream_prefetch,
-                        fuse_chain=args.fused)
+                        fuse_chain=fused)
 
 
 def device_inputs(args, T, batch):
@@ -95,7 +98,7 @@ def run_single(args, impl_map):
           f"max_dilation={args.max_dilation} chunk={args.chunk} "
           f"mode={args.mode} precision=fp{args.precision} "
           f"compute=fp{args.compute} fast_math={args.fast_math}", flush=True)
-    eng = build_engine(args, impl, args.batch, args.chunk)
+    eng = build_engine(args, impl, args.batch, args.chunk, mode=args.mode)
     print(f"Resolved implementation: {eng._resolve_impl(args.batch).name}",
           flush=True)
     eng.set_reference_weights(
@@ -133,7 +136,8 @@ def run_sweep(args, impl_map):
         cond, sel = device_inputs(args, T, batch)
         for mode in modes:
             for chunk in chunks:
-                eng = build_engine(args, impl_map[mode], batch, chunk)
+                eng = build_engine(args, impl_map[mode], batch, chunk,
+                                   mode=mode)
                 if ref_w is None:
                     ref_w = params_lib.random_reference_weights(eng.cfg,
                                                                 seed=1)
@@ -180,7 +184,7 @@ def main():
     ap.add_argument("-d", "--max_dilation", type=int, default=512)
     ap.add_argument("-m", "--mode", default="auto",
                     choices=["auto", "single", "dual", "persistent",
-                             "manyblock"])
+                             "manyblock", "fused"])
     ap.add_argument("-p", "--precision", type=int, default=32,
                     choices=[16, 32])
     ap.add_argument("--compute", type=int, default=32, choices=[16, 32])
@@ -209,7 +213,7 @@ def main():
 
     impl_map = {"auto": Impl.AUTO, "single": Impl.SINGLE_BLOCK,
                 "dual": Impl.DUAL_BLOCK, "persistent": Impl.PERSISTENT,
-                "manyblock": Impl.MANYBLOCK}
+                "manyblock": Impl.MANYBLOCK, "fused": Impl.PERSISTENT}
     if args.sweep:
         run_sweep(args, impl_map)
     else:
