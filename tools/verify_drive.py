@@ -78,6 +78,16 @@ def main():
     assert np.allclose(psum, 1.0, atol=1e-5), psum
     print("dump mode OK (p sums to 1)", flush=True)
 
+    # fused (collapsed-chain) fast decode: trajectory agreement with the
+    # exact path on this case (distribution contract; fold error ~5e-6 TV)
+    t0 = time.time()
+    ef = make(Impl.PERSISTENT, fuse_chain=True)
+    yfu = ef.run(T, B)
+    agree = float(np.mean(yfu == y_gold))
+    assert agree >= 0.99, f"fused agreement {agree:.3f}"
+    print(f"fused-chain agreement {agree:.3f} OK ({time.time() - t0:.0f}s)",
+          flush=True)
+
     # streaming feed parity (ragged chunks over the same conditioning)
     eng.begin_stream(B)
     outs, off = [], 0
