@@ -26,6 +26,7 @@ Flags (reference mapping):
                      distribution-contract accuracy, not bit-exact
   -t iterations      timing repetitions (default 3; steady-state
                       average over back-to-back runs reported)
+  -f device index    default-placement device (reference -f parity)
   --sweep            sweep mode x batch x chunk (the reference's documented
                      tuning workflow, `README.md:58-66`): ranked table +
                      best-config JSON.  --sweep_batches / --sweep_chunks /
@@ -198,6 +199,9 @@ def main():
     ap.add_argument("--stream_prefetch", action="store_true",
                     help="MANYBLOCK: prefetch next step's first group")
     ap.add_argument("-t", "--iters", type=int, default=3)
+    ap.add_argument("-f", "--device", type=int, default=0,
+                    help="device index (reference -f parity): pins default "
+                         "placement to jax.devices()[f]")
     ap.add_argument("--sampling", default="sample",
                     choices=["sample", "argmax"])
     ap.add_argument("--sweep", action="store_true")
@@ -208,6 +212,9 @@ def main():
 
     from nv_wavenet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    if args.device:
+        import jax
+        jax.config.update("jax_default_device", jax.devices()[args.device])
 
     from nv_wavenet_tpu.engine.wavenet_infer import Impl
 
