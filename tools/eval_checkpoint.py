@@ -36,6 +36,10 @@ def main():
     ap.add_argument("-o", "--output", default="/tmp/eval_gen.wav")
     ap.add_argument("--config", default="configs/config.json")
     ap.add_argument("--seconds", type=float, default=1.0)
+    ap.add_argument("--fused", action="store_true",
+                    help="generate through the collapsed-chain fast decode "
+                         "(quality check of the fused tier on a real "
+                         "vocoder; scoring stays on the exact path)")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +98,7 @@ def main():
     eng = WaveNetInfer(num_layers=cfg.num_layers,
                        max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
                        A=cfg.A, max_batch=B, tanh_embed=cfg.tanh_embed,
-                       chunk_size=256)
+                       chunk_size=256, fuse_chain=args.fused)
     eng.set_canonical_params(canon)
     eng.set_inputs(cond, selectors=None, seed=0)
     y = eng.run(T, B)
