@@ -22,7 +22,8 @@ import numpy as np
 
 
 def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
-               check_golden_samples=0, compute_dtype=None, fast_math=False):
+               check_golden_samples=0, compute_dtype=None, fast_math=False,
+               fuse_chain=False):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +37,7 @@ def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
                        implementation=impl, chunk_size=chunk,
                        weight_dtype=weight_dtype,
                        compute_dtype=compute_dtype or _jnp.float32,
-                       fast_math=fast_math)
+                       fast_math=fast_math, fuse_chain=fuse_chain)
     ref_w = params_lib.random_reference_weights(cfg, seed=1)
     eng.set_reference_weights(ref_w)
     # conditioning generated ON DEVICE (production conditioning comes from
@@ -75,7 +76,7 @@ def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
            "weight_dtype": str(np.dtype(weight_dtype).name
                                if weight_dtype == np.float32 else "bfloat16"),
            "compute": "bf16" if compute_dtype is not None else "fp32",
-           "fast_math": fast_math}
+           "fast_math": fast_math, "fused": fuse_chain}
     if exact is not None:
         rec["exact_match_vs_golden"] = exact
     print(json.dumps(rec), flush=True)
@@ -135,6 +136,16 @@ def main():
     recs.append(run_config("5d_flagship_fast_math", flagship, 16, T, 256,
                            Impl.PERSISTENT, "sample", jnp.float32,
                            fast_math=True))
+    # collapsed-chain fast decode tiers (ops/fused_chain.py)
+    recs.append(run_config("5e_flagship_fused_fp32", flagship, 16, T, 256,
+                           Impl.PERSISTENT, "sample", jnp.float32,
+                           fuse_chain=True))
+    recs.append(run_config("5f_flagship_fused_fast_math", flagship, 16, T,
+                           256, Impl.PERSISTENT, "sample", jnp.float32,
+                           fast_math=True, fuse_chain=True))
+    recs.append(run_config("5g_flagship_fused_bf16w", flagship, 16, T, 256,
+                           Impl.PERSISTENT, "sample", jnp.bfloat16,
+                           fuse_chain=True))
     print(json.dumps({"all": recs}, indent=1))
 
 
