@@ -33,7 +33,7 @@ def main(argv=None):
     ap.add_argument("-o", "--output_dir", required=True)
     ap.add_argument("-b", "--batch_size", type=int, default=1)
     ap.add_argument("-m", "--mode", default="auto",
-                    choices=["auto", "persistent", "manyblock"])
+                    choices=["auto", "persistent", "manyblock", "fused"])
     ap.add_argument("-s", "--sampling", default="sample",
                     choices=["sample", "argmax"])
     ap.add_argument("--config", default="configs/config.json")
@@ -86,7 +86,8 @@ def main(argv=None):
     canon = wavenet_lib.export_canonical(params, model)
     cfg = wavenet_lib.config_of(model)
     impl = {"auto": Impl.AUTO, "persistent": Impl.PERSISTENT,
-            "manyblock": Impl.MANYBLOCK}[args.mode]
+            "manyblock": Impl.MANYBLOCK,
+            "fused": Impl.PERSISTENT}[args.mode]
 
     os.makedirs(args.output_dir, exist_ok=True)
     sr = data_cfg.sampling_rate
@@ -108,7 +109,8 @@ def main(argv=None):
                                max_dilation=cfg.max_dilation, R=cfg.R,
                                S=cfg.S, A=cfg.A, max_batch=B,
                                implementation=impl,
-                               tanh_embed=cfg.tanh_embed, chunk_size=256)
+                               tanh_embed=cfg.tanh_embed, chunk_size=256,
+                               fuse_chain=args.mode == "fused")
             eng.set_canonical_params(canon)
             engines[B] = eng
         eng = engines[B]
