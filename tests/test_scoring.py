@@ -72,3 +72,29 @@ def test_kernel_scorer_matches_scan_scorer():
     assert logp_k.shape == (B, T - 1)
     assert np.allclose(np.asarray(logp_scan), logp_k, atol=2e-5)
     assert np.allclose(np.asarray(bits_scan), bits_k, atol=1e-5)
+
+
+def test_parallel_scorer_matches_scan_scorer():
+    """The time-parallel scorer (one conv-style pass, [T*B, C] matmuls)
+    reproduces the sequential scan scorer to reassociation tolerance."""
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.models import params as params_lib
+
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=8)
+    B, T = 3, 33
+    ref_w = params_lib.random_reference_weights(cfg, seed=13)
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    rng = np.random.RandomState(5)
+    cond = jnp.asarray(rng.uniform(
+        -0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)).astype(np.float32))
+    audio = rng.randint(0, 256, size=(B, T)).astype(np.int32)
+
+    logp_scan, bits_scan = scoring.score_teacher_forced(params, cfg, cond,
+                                                        jnp.asarray(audio))
+    logp_p, bits_p = scoring.score_teacher_forced_parallel(
+        params, cfg, cond, jnp.asarray(audio))
+    assert logp_p.shape == (B, T - 1)
+    assert np.allclose(np.asarray(logp_scan), np.asarray(logp_p), atol=2e-5)
+    assert np.allclose(np.asarray(bits_scan), np.asarray(bits_p), atol=1e-5)
