@@ -89,7 +89,7 @@ def main():
 
     # teacher-forced likelihood of the TRUE audio (uniform/untrained = 8.0)
     y_true = mu_law_encode_np(np.clip(audio[:T], -1, 1))[None]
-    _, bits = scoring.score_teacher_forced(
+    _, bits = scoring.score_teacher_forced_parallel(
         {k: jnp.asarray(v) for k, v in canon.items()}, cfg,
         jnp.asarray(cond), jnp.asarray(y_true, jnp.int32))
     print(f"teacher-forced bits/sample: {float(np.mean(bits)):.3f} "
