@@ -72,6 +72,7 @@ class WaveNetInfer:
                  fast_math: bool = False,
                  stream_group_size: int = 8,
                  stream_prefetch: bool = False,
+                 stream_quant: Optional[str] = None,
                  fuse_chain: bool = False,
                  mesh=None):
         self.cfg = WaveNetConfig(num_layers=num_layers, R=R, S=S, A=A,
@@ -90,6 +91,17 @@ class WaveNetInfer:
         # output stack
         self.stream_group_size = stream_group_size
         self.stream_prefetch = stream_prefetch
+        # int8 storage of the MANYBLOCK path's streamed weight stacks
+        # (per-channel scales, exactly-rounded in-kernel dequantize): halves
+        # its per-step HBM weight traffic again vs bf16, deterministic
+        # (kernel bit-matches the dequantized-weights oracle,
+        # tests/test_streaming_kernel.py)
+        assert stream_quant in (None, "int8"), stream_quant
+        self.stream_quant = stream_quant
+        if stream_quant:
+            assert weight_dtype == jnp.float32, (
+                "stream_quant replaces the streamed stacks' storage; "
+                "combine with fp32 weight_dtype only")
         # collapsed-chain fast decode (ops/fused_chain.py): shortens the
         # dependent per-sample matmul chain from 2L+3 to ~L+5 by folding the
         # residual stream into precomputed weights.  NOT bit-exact (fp32
@@ -357,7 +369,8 @@ class WaveNetInfer:
     def _persistent_gen(self, batch, mode, dump, stream=False):
         chunk = self._effective_chunk(batch, stream)
         fused = self.fuse_chain and not stream and not dump
-        key = ("persistent", batch, chunk, mode, dump, stream, fused,
+        quant = bool(self.stream_quant) and stream
+        key = ("persistent", batch, chunk, mode, dump, stream, fused, quant,
                self.stream_group_size, self.stream_prefetch)
         if key not in self._gen_cache:
             if self.mesh is not None:
@@ -371,6 +384,7 @@ class WaveNetInfer:
                     stream_weights=stream,
                     stream_group_size=self.stream_group_size,
                     stream_prefetch=self.stream_prefetch,
+                    stream_quant=quant,
                     fuse_chain=fused)
             elif fused:
                 self._gen_cache[key] = jax.jit(
@@ -391,7 +405,8 @@ class WaveNetInfer:
                         fast_math=self.fast_math,
                         prefold_cond=True, stream_weights=stream,
                         stream_group_size=self.stream_group_size,
-                        stream_prefetch=self.stream_prefetch))
+                        stream_prefetch=self.stream_prefetch,
+                        stream_quant=quant))
         return self._gen_cache[key]
 
     # ------------------------------------------------------------------
@@ -449,8 +464,12 @@ class WaveNetInfer:
         draws run on any backend; kernel PRNG is TPU-hardware-only)."""
         T = sel.shape[0]
         if impl == Impl.MANYBLOCK and mode == "prng":
+            scan_params = self._device_params(self.weight_dtype)
+            if self.stream_quant:
+                # value-identical oracle view of the int8-streamed stacks
+                scan_params = persistent.dequantize_stream_params(scan_params)
             st, y, aux = scan_generate.generate(
-                self._device_params(self.weight_dtype), self._scan_state,
+                scan_params, self._scan_state,
                 cond, sel, self.cfg, mode=mode, dump=dump,
                 compute_dtype=self.compute_dtype, seed=self.sampling_seed)
             self._scan_state = st

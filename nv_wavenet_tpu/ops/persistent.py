@@ -105,16 +105,20 @@ def stream_group(L: int, group_size: int = 8):
 
 def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                  dump: bool, compute_dtype, precision, unroll, prefold_cond,
-                 rs_split, stream, stream_gs, stream_prefetch,
+                 rs_split, stream, stream_gs, stream_prefetch, stream_quant,
                  # refs (order fixed by the pallas_call below):
                  t0_ref,                                   # scalar prefetch
                  embed, dil_w, dil_b, rs_w, rs_b, out_w, out_b, end_w, end_b,
-                 cond, sel, ring_in, y_in,
-                 y_out, ring_out, y_state_out, *rest):
+                 *more):
     L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
     B = batch
     dils = cfg.dilations
     _, _, p_offs, lane_slots = cfg.packed_ring_plan()
+    if stream_quant:
+        # int8-streamed stacks carry per-layer per-output-channel scales
+        dil_s, rs_s = more[0], more[1]
+        more = more[2:]
+    cond, sel, ring_in, y_in, y_out, ring_out, y_state_out, *rest = more
     if stream:
         # MANYBLOCK analog: the per-layer weight stack stays in HBM; layer
         # l+1's weights DMA into the spare VMEM buffer while layer l computes
@@ -176,6 +180,15 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                     cp.wait()
             # the stacks' minor dim is padded to the 128-lane tiling
             # (Mosaic requires aligned HBM memref slices); drop the pad
+            if stream_quant:
+                # dequantize BEFORE the matmul (w = q * s): the exactly-
+                # rounded per-element multiply reproduces the oracle's
+                # dequantized weights bit-for-bit, so the streamed-int8
+                # kernel keeps the deterministic cross-impl contract
+                return (dil_buf[g % 2, r][:, :2 * R].astype(jnp.float32)
+                        * dil_s[l],
+                        rs_buf[g % 2, r][:, :R + S].astype(jnp.float32)
+                        * rs_s[l])
             return (dil_buf[g % 2, r][:, :2 * R],
                     rs_buf[g % 2, r][:, :R + S])
     else:
@@ -330,6 +343,40 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
         cp.wait()
 
 
+def quantize_stream_weights(params: Dict):
+    """Per-output-channel symmetric int8 quantization of the two streamed
+    stacks (dil_w [L, 2R, 2R], rs_w [L, R, R+S]) — halves the MANYBLOCK
+    path's per-step HBM weight traffic again vs bf16.  Exactly reproducible:
+    scales are fp32 max|w|/127 per (layer, out column), q = rint(w/s)
+    clipped to [-127, 127], and dequantization q*s is an exactly-rounded
+    fp32 multiply — so the streamed-int8 kernel bit-matches any oracle fed
+    `dequantize_stream_params` (the bf16-weights determinism contract,
+    carried to int8).  Returns (q_dil int8, s_dil [L, 2R], q_rs int8,
+    s_rs [L, R+S])."""
+    def q(w):
+        w = jnp.asarray(w, jnp.float32)
+        s = jnp.max(jnp.abs(w), axis=1) / 127.0            # [L, out]
+        s = jnp.where(s > 0, s, 1.0)
+        qw = jnp.clip(jnp.round(w / s[:, None, :]), -127, 127
+                      ).astype(jnp.int8)
+        return qw, s.astype(jnp.float32)
+
+    qd, sd = q(params["dil_w"])
+    qr, sr = q(params["rs_w"])
+    return qd, sd, qr, sr
+
+
+def dequantize_stream_params(params: Dict) -> Dict:
+    """Params with dil_w/rs_w replaced by their int8 quantize->dequantize
+    round trip — the value-identical oracle-side view of what the
+    streamed-int8 kernel computes with."""
+    qd, sd, qr, sr = quantize_stream_weights(params)
+    out = dict(params)
+    out["dil_w"] = qd.astype(jnp.float32) * sd[:, None, :]
+    out["rs_w"] = qr.astype(jnp.float32) * sr[:, None, :]
+    return out
+
+
 def init_ring(cfg: WaveNetConfig, batch: int, dtype=jnp.float32) -> jax.Array:
     """Zero-initialized lane-packed ring state for the persistent generator:
     [rows, batch, pack*R] (see WaveNetConfig.packed_ring_plan).  Zero state =
@@ -408,7 +455,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                               rs_split: bool = False,
                               stream_weights: bool = False,
                               stream_group_size: int = 8,
-                              stream_prefetch: bool = False):
+                              stream_prefetch: bool = False,
+                              stream_quant: bool = False):
     # NOTE: Pallas TPU fori_loop supports only unroll=1 or full unroll
     # (=chunk); full unroll multiplies compile time by the chunk length.
     #
@@ -438,11 +486,15 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32 and not fast_math
                  else jax.lax.Precision.DEFAULT)
+    stream_quant = bool(stream_quant and stream_weights)
+    assert not (stream_quant and weight_dtype != jnp.float32), (
+        "stream_quant=int8 replaces the streamed stacks' storage dtype; "
+        "combine with fp32 weight_dtype only")
 
     kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode, dump,
                                compute_dtype, precision, unroll, prefold_cond,
                                rs_split, stream_weights, stream_group_size,
-                               stream_prefetch)
+                               stream_prefetch, stream_quant)
 
     if stream_weights:
         # MANYBLOCK: the per-layer stacks stay in HBM; the kernel
@@ -472,6 +524,11 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
         pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((A, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ] + ([
+        # int8 stream scales (VMEM-resident, tiny)
+        pl.BlockSpec((L, 2 * R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, R + S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ] if stream_quant else []) + [
         # streamed per-chunk inputs
         pl.BlockSpec((chunk, L, B, 2 * R), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -523,6 +580,10 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
         weights = [jnp.asarray(params[k], weight_dtype) if params[k].ndim > 1
                    else jnp.asarray(params[k], weight_dtype)[None]
                    for k in PARAM_ORDER]
+        if stream_quant:
+            qd, sd, qr, sr = quantize_stream_weights(params)
+            weights[1], weights[3] = qd, qr      # dil_w, rs_w -> int8
+            weights += [sd, sr]                  # scales after the 9 weights
         if stream_weights:
             # pad the streamed stacks' minor dim to the 128-lane tiling
             # (Mosaic requires HBM memref slices be tile-aligned) and the
@@ -536,18 +597,20 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                 if p or pl_:
                     weights[wi] = jnp.pad(
                         w, [(0, pl_)] + [(0, 0)] * (w.ndim - 2) + [(0, p)])
-        # carried state aliases: inputs are [t0, 9 weights, cond, sel, ring,
-        # y_state] -> ring (input 12) aliases output 1, y_state (13) output 2
-        n_w = len(PARAM_ORDER)
+        # carried state aliases: inputs are [t0, 9 weights (+2 quant
+        # scales), cond, sel, ring, y_state] -> ring aliases output 1,
+        # y_state output 2
+        n_w = len(PARAM_ORDER) + (2 if stream_quant else 0)
         aliases = {1 + n_w + 2: 1, 1 + n_w + 3: 2}
         scratch = [pltpu.VMEM(ring.shape, ring.dtype),
                    pltpu.SemaphoreType.DMA(())]
         if stream_weights:
             pad128 = lambda n: -(-n // 128) * 128  # noqa: E731
             G, _ = stream_group(L, stream_group_size)
+            buf_dtype = jnp.int8 if stream_quant else weight_dtype
             scratch += [
-                pltpu.VMEM((2, G, 2 * R, pad128(2 * R)), weight_dtype),
-                pltpu.VMEM((2, G, R, pad128(R + S)), weight_dtype),
+                pltpu.VMEM((2, G, 2 * R, pad128(2 * R)), buf_dtype),
+                pltpu.VMEM((2, G, R, pad128(R + S)), buf_dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,))]
         return pl.pallas_call(

@@ -123,6 +123,7 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
                                       stream_weights: bool = False,
                                       stream_group_size: int = 8,
                                       stream_prefetch: bool = False,
+                                      stream_quant: bool = False,
                                       fuse_chain: bool = False):
     """shard_map the fused Pallas kernel (VMEM-resident or HBM-streaming
     weights) over the 'data' axis: every chip runs the whole network on its
@@ -158,7 +159,7 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
             compute_dtype=compute_dtype, interpret=interpret,
             prefold_cond=prefold_cond, fast_math=fast_math, dump=dump,
             stream_weights=stream_weights, stream_group_size=stream_group_size,
-            stream_prefetch=stream_prefetch)
+            stream_prefetch=stream_prefetch, stream_quant=stream_quant)
 
     def local_gen(params, scalars, cond, sel, ring, y_state):
         # decorrelate mode="prng" draws across shards: the kernel reseeds

@@ -179,3 +179,75 @@ def test_streaming_variants_exact(gs, prefetch):
     y2, _, _ = run_stream(cfg, params, cond[11:], sel[11:], B, chunk,
                           t0=11, ring=ring, y_state=ys, **kw)
     assert np.array_equal(y_gold, np.concatenate([y1, y2], axis=1))
+
+
+def test_int8_streamed_kernel_matches_dequantized_scan_exactly():
+    """stream_quant=int8: per-channel scales, int8 HBM stacks, in-kernel
+    exactly-rounded dequantize (w = q*s) — the integer outputs must BIT-MATCH
+    the scan generator fed the same quantize->dequantize round-tripped
+    weights (the bf16-weights determinism contract carried to int8)."""
+    from nv_wavenet_tpu.ops import scan_generate
+
+    cfg = WaveNetConfig(num_layers=8, R=32, S=128, A=256, max_dilation=8)
+    B, T = 2, 24
+    ref_w, cond, sel = make_case(cfg, B, T, seed=71)
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+
+    y_q, _, _ = run_stream(cfg, params, cond, sel, B, 8, stream_quant=True)
+
+    params_dq = persistent.dequantize_stream_params(params)
+    st = scan_generate.init_state(cfg, B)
+    _, y_scan, _ = scan_generate.generate(params_dq, st, jnp.asarray(cond),
+                                          jnp.asarray(sel), cfg)
+    assert np.array_equal(np.asarray(y_scan), y_q), (
+        f"int8-stream/scan agreement "
+        f"{np.mean(np.asarray(y_scan) == y_q):.3f}")
+    # and quantization is a real change (not a no-op passthrough)
+    assert not np.allclose(np.asarray(params_dq["dil_w"]),
+                           np.asarray(params["dil_w"]))
+
+
+def test_int8_stream_distribution_close_to_fp32():
+    """int8 streamed weights stay distribution-close to fp32 on the hot
+    case (teacher-forced TV bound, the low-precision contract methodology)."""
+    from tests.test_low_precision import (CFG, free_run_forced, hot_case,
+                                          scan_forced_probs, tv)
+
+    B, T = 4, 64
+    params, cond, sel, _ = hot_case(CFG, B, T, seed=7)
+    forced = free_run_forced(CFG, params, cond, sel)[:T]
+    p32 = scan_forced_probs(CFG, params, cond, sel, forced, jnp.float32)[:T]
+
+    params_dq = persistent.dequantize_stream_params(params)
+    p_q = scan_forced_probs(CFG, params_dq, cond, sel, forced, jnp.float32)[:T]
+    t = tv(p32, p_q)
+    msg = f"int8 mean TV {t.mean():.4f} max {t.max():.4f}"
+    assert t.mean() < 0.05 and t.max() < 0.4, msg
+
+
+def test_engine_stream_quant_int8():
+    """WaveNetInfer(stream_quant='int8') on a forced-MANYBLOCK run matches
+    the golden model fed the dequantized weights exactly (through the
+    engine's prefold/chunking machinery), and prng mode stays self-
+    consistent between kernel and scan paths."""
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+    B, T = 2, 24
+    ref_w, cond, sel = make_case(cfg, B, T, seed=83)
+
+    eng = WaveNetInfer(num_layers=cfg.num_layers,
+                       max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                       A=cfg.A, max_batch=B, implementation=Impl.MANYBLOCK,
+                       chunk_size=8, stream_quant="int8")
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, sel)
+    y = eng.run(T, B)
+
+    from nv_wavenet_tpu.ops import scan_generate
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    params_dq = persistent.dequantize_stream_params(params)
+    st = scan_generate.init_state(cfg, B)
+    _, y_scan, _ = scan_generate.generate(params_dq, st, jnp.asarray(cond),
+                                          jnp.asarray(sel), cfg)
+    assert np.array_equal(y, np.asarray(y_scan))

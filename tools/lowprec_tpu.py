@@ -77,7 +77,11 @@ def main():
              dict(weight_dtype=jnp.bfloat16)),
             ("fused_fast_math", fused_probs, dict(fast_math=True)),
             ("fused_bf16_compute", fused_probs,
-             dict(compute_dtype=jnp.bfloat16))]:
+             dict(compute_dtype=jnp.bfloat16)),
+            # int8 streamed stacks (MANYBLOCK tier): deterministic, so the
+            # TV here is pure quantization error
+            ("int8_stream", probs,
+             dict(stream_weights=True, stream_quant=True))]:
         p = pf(**kw)
         t = 0.5 * np.abs(p - p32).sum(-1)
         results[label] = {"mean_tv": round(float(t.mean()), 5),

@@ -24,6 +24,8 @@ Flags (reference mapping):
   --fused            collapsed-chain fast decode (ops/fused_chain.py):
                      dependent chain ~L+5 instead of 2L+3 matmuls/step;
                      distribution-contract accuracy, not bit-exact
+  --stream_quant int8  MANYBLOCK: int8 streamed weight stacks (per-channel
+                     scales, deterministic dequantize)
   -t iterations      timing repetitions (default 3; steady-state
                       average over back-to-back runs reported)
   -f device index    default-placement device (reference -f parity)
@@ -60,6 +62,7 @@ def build_engine(args, impl, batch, chunk, mode=None):
                         compute_dtype=cdt, fast_math=args.fast_math,
                         stream_group_size=args.stream_gs,
                         stream_prefetch=args.stream_prefetch,
+                        stream_quant=args.stream_quant,
                         fuse_chain=fused)
 
 
@@ -198,6 +201,10 @@ def main():
                     help="MANYBLOCK: layers per weight-DMA group")
     ap.add_argument("--stream_prefetch", action="store_true",
                     help="MANYBLOCK: prefetch next step's first group")
+    ap.add_argument("--stream_quant", choices=["int8"], default=None,
+                    help="MANYBLOCK: int8 storage of the streamed weight "
+                         "stacks (per-channel scales, deterministic "
+                         "dequantize; halves HBM weight traffic vs bf16)")
     ap.add_argument("-t", "--iters", type=int, default=3)
     ap.add_argument("-f", "--device", type=int, default=0,
                     help="device index (reference -f parity): pins default "
