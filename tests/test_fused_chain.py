@@ -179,3 +179,27 @@ def test_mesh_engine_fused(fused_case):
     y_single = mk(None).run(T, B)
     y_mesh = mk(mesh_lib.data_mesh(4)).run(T, B)
     assert np.array_equal(y_single, y_mesh)
+
+
+def test_fused_streaming_feed(fused_case):
+    """begin_stream/feed through the fused kernel: ragged chunks equal the
+    fused full run (carried ring/y_state through the shared dispatch)."""
+    params, cond, sel, forced, _ = fused_case
+    B, T = 8, cond.shape[0]
+
+    eng = WaveNetInfer(num_layers=CFG.num_layers,
+                       max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                       A=CFG.A, max_batch=B, implementation=Impl.PERSISTENT,
+                       chunk_size=8, fuse_chain=True)
+    eng.set_canonical_params({k: np.asarray(v) for k, v in params.items()})
+    eng.set_inputs(np.asarray(cond), np.asarray(sel))
+    y_full = eng.run(T, B)
+
+    eng.begin_stream(B)
+    outs, off = [], 0
+    for n in (13, 6, 45):
+        outs.append(eng.feed(np.asarray(cond[off:off + n]),
+                             np.asarray(sel[off:off + n])))
+        off += n
+    y_feed = np.concatenate(outs, axis=1)
+    assert np.array_equal(y_feed, y_full)
