@@ -153,6 +153,12 @@ class WaveNetGolden:
                                    ref["Wskip"][l], ref["Bskip"][l])
         self.set_out_weights(ref["Wzs"], ref["Bzs"], ref["Wza"], ref["Bza"])
 
+    def set_canonical_params(self, params: Dict):
+        """Upload canonical-layout params (engine API parity: the engine's
+        `set_canonical_params`); adapted through the lossless
+        `params.from_canonical` inverse."""
+        self.set_reference_weights(params_lib.from_canonical(params, self.cfg))
+
     # -- inputs ---------------------------------------------------------------
 
     def set_inputs(self, cond: np.ndarray, selectors: np.ndarray):

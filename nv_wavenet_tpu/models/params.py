@@ -128,3 +128,26 @@ def validate_canonical(params: Dict, cfg: WaveNetConfig) -> None:
         got = tuple(params[k].shape)
         if got != shape:
             raise ValueError(f"param {k}: expected shape {shape}, got {got}")
+
+
+def from_canonical(params: Dict, cfg: WaveNetConfig) -> Dict:
+    """Canonical stacked [in, out] pytree -> reference math shapes (the
+    exact inverse of `to_canonical`; transposes are lossless)."""
+    L, R = cfg.num_layers, cfg.R
+    p = {k: np.asarray(v, np.float32) for k, v in params.items()}
+    A = cfg.A
+    return {
+        "embed_prev": p["embed"][:A].T,
+        "embed_cur": p["embed"][A:].T,
+        "Wprev": [p["dil_w"][l][:R].T for l in range(L)],
+        "Wcur": [p["dil_w"][l][R:].T for l in range(L)],
+        "Bh": [p["dil_b"][l] for l in range(L)],
+        "Wres": [p["rs_w"][l][:, :R].T for l in range(L)],
+        "Bres": [p["rs_b"][l][:R] for l in range(L)],
+        "Wskip": [p["rs_w"][l][:, R:].T for l in range(L)],
+        "Bskip": [p["rs_b"][l][R:] for l in range(L)],
+        "Wzs": p["out_w"].T,
+        "Bzs": p["out_b"],
+        "Wza": p["end_w"].T,
+        "Bza": p["end_b"],
+    }
