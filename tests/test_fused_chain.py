@@ -203,3 +203,21 @@ def test_fused_streaming_feed(fused_case):
         off += n
     y_feed = np.concatenate(outs, axis=1)
     assert np.array_equal(y_feed, y_full)
+
+
+@pytest.mark.parametrize("R,S,L,maxd", [(64, 128, 5, 4), (128, 128, 3, 2)])
+def test_fused_geometries(R, S, L, maxd):
+    """Row-stride padding paths: R=64 (P=128, 64 pad rows per block) and
+    R=128 (P=128, no pad).  Free-run agreement vs the scan on tiny cases."""
+    cfg = WaveNetConfig(num_layers=L, R=R, S=S, A=256, max_dilation=maxd)
+    B, T = 2, 24
+    params, cond, sel, _ = hot_case(cfg, B, T, seed=17)
+    gen = fused_chain.make_fused_generator(cfg, B, 8, interpret=True)
+    ys = jnp.full((2, B), cfg.silence_bin, jnp.int32)
+    out = gen(params, np.array([0]), jnp.asarray(cond), jnp.asarray(sel),
+              persistent.init_ring(cfg, B), ys, n_valid=T)
+    st = scan_generate.init_state(cfg, B)
+    _, y_scan, _ = scan_generate.generate(params, st, jnp.asarray(cond),
+                                          jnp.asarray(sel), cfg)
+    agree = np.mean(np.asarray(out[0]) == np.asarray(y_scan).T)
+    assert agree >= 0.99, f"R={R} agreement {agree:.3f}"
