@@ -61,7 +61,11 @@ def stage(mesh: Mesh, spec: P, x_local):
     x_local = np.asarray(x_local)
     gshape = list(x_local.shape)
     for d, name in enumerate(spec):
-        if name is not None:
+        # only the 'data' axis spans processes (it is the outermost mesh
+        # axis, see trainer.make_mesh); 'model'/'seq' shard WITHIN a
+        # process, so those dims arrive process-complete
+        names = name if isinstance(name, tuple) else (name,)
+        if "data" in names:
             gshape[d] *= jax.process_count()
     return jax.make_array_from_process_local_data(sharding, x_local,
                                                   global_shape=tuple(gshape))

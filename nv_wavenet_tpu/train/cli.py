@@ -4,8 +4,9 @@ configs/config.json`, the parity entry point for the reference's
 
 The four config sections keep the reference's names (`pytorch/config.json`):
 train_config, data_config, dist_config, wavenet_config.  dist_config selects
-mesh axes (data_parallel x model_parallel) instead of NCCL URLs — multi-host
-bring-up is `jax.distributed.initialize` (see parallel/mesh.py).
+mesh axes (data_parallel x model_parallel x seq_parallel) instead of NCCL
+URLs — multi-host bring-up is `jax.distributed.initialize` (see
+parallel/mesh.py).
 """
 
 from __future__ import annotations
@@ -87,8 +88,9 @@ def main(argv=None):
     mesh = None
     dp = dist_c.get("data_parallel", 1)
     mp = dist_c.get("model_parallel", 1)
-    if dp * mp > 1:
-        mesh = trainer.make_mesh(dp, mp)
+    sp = dist_c.get("seq_parallel", 1)
+    if dp * mp * sp > 1:
+        mesh = trainer.make_mesh(dp, mp, sp)
 
     out_dir = train_c.get("output_directory") or None
     if out_dir:

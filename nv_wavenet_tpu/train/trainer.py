@@ -105,13 +105,35 @@ def train_step(state: TrainState, mel: jax.Array, audio: jax.Array
 # sharding
 # ---------------------------------------------------------------------------
 
-def make_mesh(data: int, model: int = 1,
+def make_mesh(data: int, model: int = 1, seq: int = 1,
               devices: Optional[list] = None) -> Mesh:
+    """Training mesh: 'data' shards the utterance batch, 'model'
+    tensor-parallel-shards the wide projections, 'seq' shards the TIME axis
+    of the (long) audio/mel segments — sequence parallelism the reference
+    has no analog of (its segments live whole on one GPU).  'data' is the
+    outermost axis so it spans processes on multi-host topologies."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= data * model, (
-        f"need {data * model} devices, have {len(devices)}")
-    dev = np.asarray(devices[:data * model]).reshape(data, model)
-    return Mesh(dev, ("data", "model"))
+    assert len(devices) >= data * model * seq, (
+        f"need {data * model * seq} devices, have {len(devices)}")
+    dev = np.asarray(devices[:data * model * seq]).reshape(data, model, seq)
+    return Mesh(dev, ("data", "model", "seq"))
+
+
+def batch_partition_spec(mesh: Mesh, time_dim: Optional[int] = None) -> P:
+    """PartitionSpec for [B, T, ...] batch tensors (mel and audio both carry
+    time on dim 1): batch on 'data', time on 'seq' when the mesh has one.
+    XLA partitions the dilated convs spatially (halo exchange on segment
+    edges) and the loss reduction with a psum — no hand-written collectives.
+
+    When `time_dim` is given and does not divide by the seq axis, time stays
+    unsharded for that tensor (device_put requires divisibility): audio
+    segments are power-of-two-friendly, but the mel FRAME count is usually
+    odd (T/hop + 1) — the mel tensor is tiny, the conv stack over the
+    upsampled T carries the SP win."""
+    if "seq" in mesh.axis_names and mesh.shape["seq"] > 1 and (
+            time_dim is None or time_dim % mesh.shape["seq"] == 0):
+        return P("data", "seq")
+    return P("data")
 
 
 def param_partition_spec(path_tuple, leaf) -> P:
@@ -153,17 +175,20 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> Tuple[TrainState, Any]:
 
 
 def make_sharded_train_step(mesh: Mesh):
-    """Data-parallel (+TP) train step: batch sharded on 'data'; gradient
-    all-reduce + TP collectives inserted by XLA over ICI."""
-    data_sharding = NamedSharding(mesh, P("data"))
-
+    """Data-parallel (+TP, +SP) train step: batch sharded on 'data' (and the
+    time axis on 'seq' when present); gradient all-reduce + TP/SP collectives
+    inserted by XLA over ICI."""
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, mel, audio):
         return train_step(state, mel, audio)
 
     def run(state, mel, audio):
-        mel = jax.device_put(jnp.asarray(mel), data_sharding)
-        audio = jax.device_put(jnp.asarray(audio), data_sharding)
+        mel = jnp.asarray(mel)
+        audio = jnp.asarray(audio)
+        mel = jax.device_put(mel, NamedSharding(
+            mesh, batch_partition_spec(mesh, mel.shape[1])))
+        audio = jax.device_put(audio, NamedSharding(
+            mesh, batch_partition_spec(mesh, audio.shape[1])))
         return step(state, mel, audio)
 
     return run
@@ -241,13 +266,13 @@ def train(model: WaveNetTrain, train_cfg: TrainConfig,
     losses = []
     shard_fn = None
     if mesh is not None:
-        from jax.sharding import PartitionSpec as P
-
         from nv_wavenet_tpu.parallel import mesh as mesh_lib
         # multihost-correct staging: each process contributes its LOCAL
         # batch shard (per-rank data ownership, like the reference's
         # DistributedSampler); single-process = plain sharded device_put
-        shard_fn = lambda a: mesh_lib.stage(mesh, P("data"), np.asarray(a))  # noqa: E731
+        shard_fn = lambda a: mesh_lib.stage(  # noqa: E731
+            mesh, batch_partition_spec(mesh, np.asarray(a).shape[1]),
+            np.asarray(a))
     # multi-host hygiene (the reference gates on rank 0, `train.py:149-154`):
     # exactly one process prints and writes metrics.  Checkpoint SAVES stay
     # un-gated on purpose — orbax saving of (possibly sharded) global arrays

@@ -153,6 +153,57 @@ def test_sharded_training_matches_single_device():
         state1.params, jax.device_get(state2.params))
 
 
+def test_seq_parallel_training_matches_single_device():
+    """DP+TP+SP (time-axis sharded) step == unsharded step.  Sequence
+    parallelism splits each 16k-sample training segment across chips; XLA
+    inserts the dilated-conv halo exchanges and the loss psum from the
+    sharding annotations alone — this asserts those collectives preserve
+    the math (capability absent in the reference, SURVEY §2.5 P10)."""
+    model = WaveNetTrain(**TINY)
+    mel, audio = tiny_batch(batch=4)
+    cfg = trainer.TrainConfig(learning_rate=1e-3)
+    melj, audioj = jnp.asarray(mel), jnp.asarray(audio)
+
+    def grads_of(params):
+        def loss_fn(p):
+            return trainer.cross_entropy_loss(model.apply(p, melj, audioj),
+                                              audioj)
+        return jax.grad(loss_fn)(params)
+
+    state1 = trainer.create_train_state(model, cfg, mel, audio)
+    mesh = trainer.make_mesh(2, 2, 2)       # all three axes at once
+    P = jax.sharding.PartitionSpec
+    assert trainer.batch_partition_spec(mesh, audio.shape[1]) == P(
+        "data", "seq")
+    # mel frames (T/hop + 1, odd) don't divide the seq axis -> data-only
+    assert trainer.batch_partition_spec(mesh, mel.shape[1]) == P("data")
+    state2 = trainer.create_train_state(model, cfg, mel, audio)
+    state2, _ = trainer.shard_train_state(state2, mesh)
+
+    # grads under batch-AND-time-sharded inputs vs the unsharded truth
+    mel_sh = jax.device_put(melj, jax.sharding.NamedSharding(
+        mesh, trainer.batch_partition_spec(mesh, mel.shape[1])))
+    audio_sh = jax.device_put(audioj, jax.sharding.NamedSharding(
+        mesh, trainer.batch_partition_spec(mesh, audio.shape[1])))
+
+    def grads_sharded(params):
+        def loss_fn(p):
+            return trainer.cross_entropy_loss(
+                model.apply(p, mel_sh, audio_sh), audio_sh)
+        return jax.grad(loss_fn)(params)
+
+    g1 = jax.jit(grads_of)(state1.params)
+    g2 = jax.jit(grads_sharded)(state2.params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        jax.device_get(g1), jax.device_get(g2))
+
+    _, loss1 = jax.jit(trainer.train_step)(state1, melj, audioj)
+    step = trainer.make_sharded_train_step(mesh)   # stages via P(data, seq)
+    _, loss2 = step(state2, mel, audio)
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+
+
 def test_mel_upsample_equals_conv_transpose():
     """MelUpsample (einsum + overlap-add) must reproduce
     nn.ConvTranspose(padding="VALID") with the same parameters — it is a
