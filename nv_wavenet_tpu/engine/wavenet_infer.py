@@ -289,23 +289,30 @@ class WaveNetInfer:
     def _weight_bytes(self) -> int:
         return 2 if self.weight_dtype == jnp.bfloat16 else 4
 
-    def _effective_chunk(self, batch, stream: bool = False) -> int:
+    def _effective_chunk(self, batch, stream: bool = False,
+                         dump: bool = False) -> int:
         """Largest chunk <= chunk_size whose double-buffered conditioning
         stream + weights + ring fit the VMEM budget (the planning analog of
         the reference's occupancy tuning, `README.md:66`).
+
+        `dump` must match the run's dump_activations flag: dump runs fall
+        back to the persistent kernel even when fuse_chain is set, so they
+        must be planned against the persistent estimator (the fused one
+        counts the G stack but not the dump output buffers).
 
         Clamped to a multiple of 8: the sel/y blocks are [chunk, B] and the
         TPU lowering requires the second-minor block dim to be a sublane
         multiple (interpret-mode tests don't enforce this; hardware does)."""
         wb = self._weight_bytes()
         b_dev = self._per_device(batch)
-        if self.fuse_chain and not stream:
+        if self.fuse_chain and not stream and not dump:
             est = functools.partial(fused_chain.estimate_vmem_bytes,
                                     self.cfg, b_dev, weight_bytes=wb)
         else:
             est = functools.partial(persistent.estimate_vmem_bytes,
                                     self.cfg, b_dev, weight_bytes=wb,
-                                    stream=stream)
+                                    stream=stream,
+                                    stream_group_size=self.stream_group_size)
         chunk = max(8, self.chunk_size - self.chunk_size % 8)
         while chunk > 8 and est(chunk=chunk) > self.vmem_budget:
             chunk //= 2
@@ -367,7 +374,7 @@ class WaveNetInfer:
         return self.interpret or jax.default_backend() == "cpu"
 
     def _persistent_gen(self, batch, mode, dump, stream=False):
-        chunk = self._effective_chunk(batch, stream)
+        chunk = self._effective_chunk(batch, stream, dump)
         fused = self.fuse_chain and not stream and not dump
         quant = bool(self.stream_quant) and stream
         key = ("persistent", batch, chunk, mode, dump, stream, fused, quant,
@@ -482,7 +489,7 @@ class WaveNetInfer:
         # state stays exact at ragged boundaries
         stream = impl == Impl.MANYBLOCK
         params = self._device_params()
-        chunk = self._effective_chunk(B, stream)
+        chunk = self._effective_chunk(B, stream, dump)
         pad = (-T) % chunk
         if pad:
             cond_pre = jnp.pad(cond_pre, ((0, pad), (0, 0), (0, 0), (0, 0)))

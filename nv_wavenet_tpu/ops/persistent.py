@@ -402,7 +402,8 @@ def _padded_bytes(shape, dtype_bytes: int) -> int:
 
 def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
                         weight_bytes: int = 4, act_bytes: int = 4,
-                        stream: bool = False) -> int:
+                        stream: bool = False,
+                        stream_group_size: int = 8) -> int:
     """VMEM budget estimate — the planning analog of the reference's
     occupancy assert (`nv_wavenet_util.cuh:42-58`).
 
@@ -418,7 +419,7 @@ def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
     L, R, S, A, B = cfg.num_layers, cfg.R, cfg.S, cfg.A, batch
     wb, ab = weight_bytes, act_bytes
     if stream:
-        G, _ = stream_group(L)
+        G, _ = stream_group(L, stream_group_size)
         layer_weights = (2 * G * _padded_bytes((2 * R, 2 * R), wb)
                          + 2 * G * _padded_bytes((R, R + S), wb))
     else:

@@ -58,6 +58,19 @@ def stage(mesh: Mesh, spec: P, x_local):
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.device_put(x_local, sharding)
+    # The local->global shape math below assumes ONLY the 'data' axis spans
+    # processes; fail early with a clear message if the mesh puts process
+    # boundaries on 'model'/'seq' (the device owning (data=i, other=j) must
+    # depend only on i).
+    data_ax = mesh.axis_names.index("data")
+    procs = np.vectorize(lambda d: d.process_index)(
+        np.moveaxis(mesh.devices, data_ax, 0)
+        .reshape(mesh.shape["data"], -1))
+    assert (procs == procs[:, :1]).all(), (
+        "multi-process staging requires process boundaries only on the "
+        "'data' mesh axis; this mesh splits a 'model'/'seq' hyper-row "
+        "across processes — raise data_parallel (or lower model/seq "
+        "parallelism) so each process holds complete non-data rows")
     x_local = np.asarray(x_local)
     gshape = list(x_local.shape)
     for d, name in enumerate(spec):

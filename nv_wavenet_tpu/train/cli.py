@@ -70,7 +70,8 @@ def main(argv=None):
         if train_c.get("epochs"):
             print("note: num_iters set; epochs ignored "
                   "(iteration-driven schedule)", flush=True)
-        batches = ds.batches(tcfg.batch_size)
+        batches = ds.batches(tcfg.batch_size, rank=jax.process_index(),
+                             world_size=jax.process_count())
     else:
         epochs = train_c.get("epochs", 1)
         rank, world = jax.process_index(), jax.process_count()

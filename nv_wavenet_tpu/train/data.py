@@ -138,14 +138,18 @@ class Mel2Samp:
         self.rng = np.random.RandomState(seed)
         self.fb = mel_filterbank(data_cfg)
 
-    def sample_clip(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+    def sample_clip(self, index: int,
+                    rng: Optional[np.random.RandomState] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
         """Featurize a random fixed-length segment of clip `index` (random
         segment start + short-clip padding, `mel2samp_onehot.py:81-87`)."""
+        if rng is None:
+            rng = self.rng
         cfg = self.cfg
         audio = self.clips[index]
         seg = cfg.segment_length
         if len(audio) >= seg:
-            start = self.rng.randint(len(audio) - seg + 1)
+            start = rng.randint(len(audio) - seg + 1)
             audio = audio[start:start + seg]
         else:
             audio = np.pad(audio, (0, seg - len(audio)))
@@ -156,10 +160,22 @@ class Mel2Samp:
     def sample(self) -> Tuple[np.ndarray, np.ndarray]:
         return self.sample_clip(self.rng.randint(len(self.clips)))
 
-    def batches(self, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Infinite random sampler (iteration-count-driven training)."""
+    def batches(self, batch_size: int, rank: int = 0, world_size: int = 1
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Infinite random sampler (iteration-count-driven training).
+
+        Under multi-process training each rank must draw a DISTINCT stream
+        (the DistributedSampler analog for the infinite sampler): the clip
+        choice and segment start come from a per-rank decorrelated
+        RandomState, so the staged global batch is world_size distinct
+        shards rather than world_size copies of the same data."""
+        assert 0 <= rank < world_size
+        rng = (self.rng if world_size == 1 else np.random.RandomState(
+            (self.seed + 0x9E3779B9 * (rank + 1)) & 0x7FFFFFFF))
         while True:
-            mels, targets = zip(*[self.sample() for _ in range(batch_size)])
+            mels, targets = zip(
+                *[self.sample_clip(rng.randint(len(self.clips)), rng)
+                  for _ in range(batch_size)])
             yield np.stack(mels), np.stack(targets)
 
     def steps_per_epoch(self, batch_size: int, world_size: int = 1) -> int:
@@ -184,7 +200,11 @@ class Mel2Samp:
         while epochs is None or e < epochs:
             order = np.random.RandomState(
                 (self.seed + 0x9E3779B9 * e) & 0x7FFFFFFF
-            ).permutation(len(self.clips))[rank::world_size]
+            ).permutation(len(self.clips))
+            # equal per-rank shards (truncate the ragged remainder) so every
+            # rank yields exactly steps_per_epoch batches and epoch boundaries
+            # stay in lockstep across processes
+            order = order[rank::world_size][:len(order) // world_size]
             n_full = len(order) // batch_size * batch_size
             for i in range(0, n_full, batch_size):
                 mels, targets = zip(*[self.sample_clip(j)

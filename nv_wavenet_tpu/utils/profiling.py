@@ -78,7 +78,10 @@ class StepCost:
         Shows why the fused mode pairs with single-pass matmuls: under
         HIGHEST the K-pass term eats most of the chain savings."""
         P = max(cfg.R, 128)
-        ktiles = sum(l * P // 128 for l in range(cfg.num_layers))
+        # only K-tiles BEYOND the first add pipeline passes (the first tile's
+        # cost is the stage_ns term already charged per chain stage)
+        ktiles = sum(max(0, l * P // 128 - 1)
+                     for l in range(cfg.num_layers))
         chain_ns = ((cfg.num_layers + 5) * stage_ns
                     + ktiles * ktile_ns * passes)
         return 1e6 / chain_ns

@@ -94,3 +94,32 @@ def test_epoch_batches_rank_sharding():
                                            world_size=2):
             ids.extend(tgt[:, 0].tolist())   # constant clip -> constant bin
     assert len(ids) == 8 and len(set(ids)) == 8  # full disjoint cover
+
+
+def test_epoch_batches_rank_lockstep_ragged():
+    """Ragged clip counts: every rank yields exactly steps_per_epoch batches
+    per epoch (equal truncated shards), so multi-process epoch boundaries
+    stay in lockstep (the desync bug: rank 0 getting ceil(len/world) clips
+    yielded an extra batch some epochs)."""
+    clips = [np.full(4000, 0.05 * (i + 1), np.float32) for i in range(11)]
+    ds = Mel2Samp(clips, CFG, seed=5)
+    spe = ds.steps_per_epoch(batch_size=2, world_size=2)
+    assert spe == 2                           # 11 // 2 // 2
+    for rank in range(2):
+        n = len(list(Mel2Samp(clips, CFG, seed=5).epoch_batches(
+            2, epochs=3, rank=rank, world_size=2)))
+        assert n == 3 * spe, (rank, n)
+
+
+def test_infinite_batches_rank_decorrelated():
+    """Iteration-driven multihost schedule: each rank's infinite sampler
+    draws a distinct stream (not world_size copies of the same batch), and
+    world_size=1 keeps the original single-process stream."""
+    clips = [np.full(4000, 0.05 * (i + 1), np.float32) for i in range(8)]
+    mk = lambda: Mel2Samp(clips, CFG, seed=7)
+    b0 = next(mk().batches(4, rank=0, world_size=2))[1]
+    b1 = next(mk().batches(4, rank=1, world_size=2))[1]
+    assert not np.array_equal(b0, b1)
+    solo_a = next(mk().batches(4))[1]
+    solo_b = next(mk().batches(4, rank=0, world_size=1))[1]
+    assert np.array_equal(solo_a, solo_b)

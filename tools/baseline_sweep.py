@@ -31,12 +31,11 @@ def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
     from nv_wavenet_tpu.models import params as params_lib
     from nv_wavenet_tpu.models.golden import WaveNetGolden
 
-    import jax.numpy as _jnp
     eng = WaveNetInfer(num_layers=cfg.num_layers, max_dilation=cfg.max_dilation,
                        R=cfg.R, S=cfg.S, A=cfg.A, max_batch=batch,
                        implementation=impl, chunk_size=chunk,
                        weight_dtype=weight_dtype,
-                       compute_dtype=compute_dtype or _jnp.float32,
+                       compute_dtype=compute_dtype or jnp.float32,
                        fast_math=fast_math, fuse_chain=fuse_chain)
     ref_w = params_lib.random_reference_weights(cfg, seed=1)
     eng.set_reference_weights(ref_w)
@@ -75,7 +74,10 @@ def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
            "batch": batch, "samples": T,
            "weight_dtype": str(np.dtype(weight_dtype).name
                                if weight_dtype == np.float32 else "bfloat16"),
-           "compute": "bf16" if compute_dtype is not None else "fp32",
+           "compute": ("fp32" if compute_dtype is None
+                       else str(np.dtype(compute_dtype).name)
+                       .replace("bfloat16", "bf16")
+                       .replace("float32", "fp32")),
            "fast_math": fast_math, "fused": fuse_chain}
     if exact is not None:
         rec["exact_match_vs_golden"] = exact

@@ -219,7 +219,7 @@ def main():
 
     from nv_wavenet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    if args.device:
+    if args.device is not None:
         import jax
         jax.config.update("jax_default_device", jax.devices()[args.device])
 
