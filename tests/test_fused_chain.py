@@ -221,3 +221,27 @@ def test_fused_geometries(R, S, L, maxd):
                                           jnp.asarray(sel), cfg)
     agree = np.mean(np.asarray(out[0]) == np.asarray(y_scan).T)
     assert agree >= 0.99, f"R={R} agreement {agree:.3f}"
+
+
+def test_fused_engine_dump_planned_against_persistent_kernel(fused_case):
+    """Dump runs fall back to the persistent kernel even under fuse_chain,
+    so their chunk must be planned with the persistent VMEM estimator: a
+    fused engine and an exact engine must agree on the dump-run chunk for
+    any VMEM budget (the bug: sizing the dump run by the fused estimator,
+    which counts the G stack but not the dump output buffers)."""
+    params, cond, sel, _, _ = fused_case
+    B = 8
+
+    def mk(fused):
+        eng = WaveNetInfer(num_layers=CFG.num_layers,
+                           max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                           A=CFG.A, max_batch=B,
+                           implementation=Impl.PERSISTENT, chunk_size=256,
+                           fuse_chain=fused)
+        return eng
+
+    for budget_mb in (8, 16, 32, 110):
+        e_f, e_x = mk(True), mk(False)
+        e_f.vmem_budget = e_x.vmem_budget = budget_mb * 1024 * 1024
+        assert (e_f._effective_chunk(B, dump=True)
+                == e_x._effective_chunk(B, dump=True)), budget_mb

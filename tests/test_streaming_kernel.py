@@ -251,3 +251,22 @@ def test_engine_stream_quant_int8():
     _, y_scan, _ = scan_generate.generate(params_dq, st, jnp.asarray(cond),
                                           jnp.asarray(sel), cfg)
     assert np.array_equal(y, np.asarray(y_scan))
+
+
+def test_stream_vmem_estimate_scales_with_group_size():
+    """The double-buffered weight tiles in the streaming plan must be sized
+    by the CONFIGURED stream_group_size (a larger group allocates
+    proportionally larger scratch): planning with the default while the
+    kernel allocates gs=16 buffers would undersize the budget check."""
+    big = WaveNetConfig(num_layers=40, R=128, S=256, A=256, max_dilation=512)
+    e8 = persistent.estimate_vmem_bytes(big, 64, 64, stream=True,
+                                        stream_group_size=8)
+    e16 = persistent.estimate_vmem_bytes(big, 64, 64, stream=True,
+                                         stream_group_size=16)
+    e1 = persistent.estimate_vmem_bytes(big, 64, 64, stream=True,
+                                        stream_group_size=1)
+    assert e1 < e8 < e16
+    # the delta is the weight-buffer term itself: 2 x (gs extra layers)
+    per_layer = (2 * persistent._padded_bytes((2 * big.R, 2 * big.R), 4)
+                 + 2 * persistent._padded_bytes((big.R, big.R + big.S), 4))
+    assert e16 - e8 == 8 * per_layer
