@@ -65,3 +65,80 @@ def test_random_geometry_exact_equivalence(seed):
         nat.set_canonical_params(params_lib.to_canonical(ref_w, cfg))
         y_nat = nat.run(cond, sel)
         assert np.array_equal(y_nat, y_gold), f"seed {seed} C++ oracle mismatch"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_geometry_streaming_knobs_exact(seed):
+    """MANYBLOCK scheduling knobs fuzz: random group size (including one
+    larger than L) and next-step prefetch are pure scheduling choices — the
+    streamed kernel must stay bit-identical to the golden at random
+    geometries and ragged split points."""
+    rng = np.random.RandomState(4000 + seed)
+    cfg = WaveNetConfig(**random_geometry(rng))
+    B = int(rng.randint(1, 4))
+    T = int(rng.randint(4, 14))
+    ref_w = params_lib.random_reference_weights(cfg, seed=5000 + seed)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+
+    golden = WaveNetGolden(cfg, B, T)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_gold = golden.run(T, B)
+
+    gs = int(rng.randint(1, cfg.num_layers + 3))   # may exceed L
+    eng = WaveNetInfer(num_layers=cfg.num_layers,
+                       max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                       A=cfg.A, max_batch=B, implementation=Impl.MANYBLOCK,
+                       tanh_embed=cfg.tanh_embed, chunk_size=8,
+                       stream_group_size=gs,
+                       stream_prefetch=bool(rng.randint(2)),
+                       interpret=True)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, sel)
+    cut = int(rng.randint(1, T))
+    y = np.concatenate([eng.run_partial(0, cut, B),
+                        eng.run_partial(cut, T - cut, B)], axis=1)
+    assert np.array_equal(y, y_gold), (
+        f"seed {seed} cfg {cfg} gs {gs} mismatch "
+        f"(agree {np.mean(y == y_gold):.3f})")
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_geometry_int8_stream_deterministic(seed):
+    """int8 weight streaming fuzz: at random geometries the quantized
+    kernel must BIT-MATCH the scan generator fed the identical
+    quantize->dequantize round-tripped weights (the determinism contract —
+    int8 changes the distribution, never the reproducibility)."""
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.ops import persistent, scan_generate
+
+    rng = np.random.RandomState(6000 + seed)
+    cfg = WaveNetConfig(**random_geometry(rng))
+    B = int(rng.randint(1, 4))
+    T = int(rng.randint(4, 12))
+    ref_w = params_lib.random_reference_weights(cfg, seed=7000 + seed)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+
+    eng = WaveNetInfer(num_layers=cfg.num_layers,
+                       max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                       A=cfg.A, max_batch=B, implementation=Impl.MANYBLOCK,
+                       tanh_embed=cfg.tanh_embed, chunk_size=8,
+                       stream_quant="int8", interpret=True)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, sel)
+    y_q = eng.run(T, B)
+
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    params_dq = persistent.dequantize_stream_params(params)
+    st = scan_generate.init_state(cfg, B)
+    _, y_scan, _ = scan_generate.generate(params_dq, st, jnp.asarray(cond),
+                                          jnp.asarray(sel), cfg)
+    assert np.array_equal(np.asarray(y_scan), y_q), (
+        f"seed {seed} int8 determinism mismatch "
+        f"(agree {np.mean(np.asarray(y_scan) == y_q):.3f})")
