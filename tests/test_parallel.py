@@ -184,3 +184,33 @@ def test_mesh_engine_dump_activations():
         assert rel_close(golden.get_za(), eng.get_za(), 1e-4, atol=2e-5)
         assert rel_close(golden.get_p(), eng.get_p(), 1e-3)
         assert np.allclose(eng.get_p().sum(-1), 1.0, atol=1e-5)
+
+
+def test_mesh_engine_int8_stream_matches_single_device():
+    """int8 weight streaming under a mesh: the batch-sharded MANYBLOCK
+    engine must emit the same integers as the single-device int8 engine
+    (determinism contract composed with mesh exactness)."""
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+    from nv_wavenet_tpu.models import params as params_lib
+
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+    B, T = 8, 12
+    ref_w = params_lib.random_reference_weights(cfg, seed=61)
+    rng = np.random.RandomState(6)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+
+    def run(mesh):
+        eng = WaveNetInfer(num_layers=cfg.num_layers,
+                           max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                           A=cfg.A, max_batch=B, chunk_size=8,
+                           implementation=Impl.MANYBLOCK,
+                           stream_quant="int8", interpret=True, mesh=mesh)
+        eng.set_reference_weights(ref_w)
+        eng.set_inputs(cond, sel)
+        return eng.run(T, B)
+
+    y_single = run(None)
+    y_mesh = run(mesh_lib.data_mesh(4))
+    assert np.array_equal(y_mesh, y_single)
