@@ -282,6 +282,64 @@ class WaveNetInfer:
                 t=self._shard(st.t, P()))
         self._scan_state = st
 
+    def export_state(self) -> Dict[str, np.ndarray]:
+        """Snapshot the carried generation state as host numpy: the packed
+        dilation-FIFO ring, the last two emitted symbols, the scan-path
+        state, and the stream cursor.  With `import_state` this enables
+        server-side session migration and fault recovery MID-STREAM — a
+        serving capability beyond the reference, whose generation state
+        lives opaquely in device memory between `run_partial` calls
+        (`nv_wavenet.cuh:499`).  Under multihost each process exports its
+        own utterances' shard (per-rank ownership, like set_inputs)."""
+        assert self._ring is not None, "no generation state yet"
+        if self._n_proc() > 1:
+            from nv_wavenet_tpu.parallel import mesh as mesh_lib
+            fetch = mesh_lib.fetch_local
+        else:
+            def fetch(arr, axis):
+                return np.asarray(arr)
+        st = self._scan_state
+        return {
+            "ring": fetch(self._ring, 1),
+            "y_state": fetch(self._y_state, 1),
+            "scan_ring": fetch(st.ring, 1),
+            "scan_y_prev": fetch(st.y_prev, 0),
+            "scan_y_cur": fetch(st.y_cur, 0),
+            "scan_t": np.asarray(jax.device_get(st.t)),
+            "stream_t": np.asarray(-1 if self._stream_t is None
+                                   else self._stream_t),
+            "stream_batch": np.asarray(getattr(self, "_stream_batch", 0)),
+        }
+
+    def import_state(self, state: Dict[str, np.ndarray]):
+        """Restore a generation snapshot taken by `export_state` (possibly
+        in another process / after a restart): subsequent `feed` /
+        `run_partial` calls continue the stream exactly where the exporting
+        engine left off.  Weights and config must match the exporter's;
+        state arrays are per-process shards under multihost."""
+        from nv_wavenet_tpu.ops import scan_generate as sg
+        ring_dtype = (jnp.float32 if self.compute_dtype == jnp.float32
+                      else self.compute_dtype)
+        self._ring = self._shard(jnp.asarray(state["ring"], ring_dtype),
+                                 P(None, "data", None))
+        self._y_state = self._shard(jnp.asarray(state["y_state"], jnp.int32),
+                                    P(None, "data"))
+        st = sg.GenState(ring=jnp.asarray(state["scan_ring"], ring_dtype),
+                         y_prev=jnp.asarray(state["scan_y_prev"], jnp.int32),
+                         y_cur=jnp.asarray(state["scan_y_cur"], jnp.int32),
+                         t=jnp.asarray(state["scan_t"], jnp.int32))
+        if self.mesh is not None:
+            st = sg.GenState(
+                ring=self._shard(st.ring, P(None, "data", None)),
+                y_prev=self._shard(st.y_prev, P("data")),
+                y_cur=self._shard(st.y_cur, P("data")),
+                t=self._shard(st.t, P()))
+        self._scan_state = st
+        stream_t = int(state["stream_t"])
+        self._stream_t = None if stream_t < 0 else stream_t
+        if int(state["stream_batch"]):
+            self._stream_batch = int(state["stream_batch"])
+
     # ------------------------------------------------------------------
     # implementation selection
     # ------------------------------------------------------------------

@@ -272,3 +272,58 @@ def test_mesh_batch_divisibility_asserts_early():
         eng.set_inputs(cond, sel)
     with pytest.raises(AssertionError, match="not divisible"):
         eng.begin_stream(3)
+
+
+def test_export_import_state_resumes_stream_exactly():
+    """Mid-stream state snapshot/restore (serving migration): a stream
+    continued in a FRESH engine from export_state must emit the identical
+    integers as the uninterrupted stream — including the default selector
+    stream (keyed on absolute t, so it survives migration too)."""
+    cfg = WaveNetConfig(num_layers=4, R=32, S=64, A=256, max_dilation=4)
+    B, T = 3, 14
+    ref_w = params_lib.random_reference_weights(cfg, seed=91)
+    rng = np.random.RandomState(9)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+
+    def mk():
+        eng = WaveNetInfer(num_layers=cfg.num_layers,
+                           max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                           A=cfg.A, max_batch=B, chunk_size=8,
+                           interpret=True)
+        eng.set_reference_weights(ref_w)
+        return eng
+
+    # uninterrupted stream (default selectors)
+    e0 = mk()
+    e0.begin_stream(B)
+    y_full = np.concatenate([e0.feed(cond[:6]), e0.feed(cond[6:])], axis=1)
+
+    # interrupted: snapshot after 6 samples, restore into a fresh engine
+    e1 = mk()
+    e1.begin_stream(B)
+    y_a = e1.feed(cond[:6])
+    snap = e1.export_state()
+    # snapshot round-trips through serialization-friendly numpy
+    assert all(isinstance(v, np.ndarray) for v in snap.values())
+    e2 = mk()
+    e2.import_state({k: v.copy() for k, v in snap.items()})
+    y_b = e2.feed(cond[6:])
+    y_resumed = np.concatenate([y_a, y_b], axis=1)
+    assert np.array_equal(y_resumed, y_full)
+
+    # run_partial continuation restores too (ragged boundary state)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+    e3 = mk()
+    e3.set_inputs(cond, sel)
+    y_ref = e3.run(T, B)
+    e4 = mk()
+    e4.set_inputs(cond, sel)
+    e4.run_partial(0, 5, B)
+    snap2 = e4.export_state()
+    e5 = mk()
+    e5.set_inputs(cond, sel)
+    e5.run_partial(0, 5, B)          # warm a fresh state, then overwrite it
+    e5.import_state(snap2)
+    y_tail = e5.run_partial(5, T - 5, B)
+    assert np.array_equal(y_tail, y_ref[:, 5:])
