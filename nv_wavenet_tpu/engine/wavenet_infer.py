@@ -141,6 +141,7 @@ class WaveNetInfer:
         self._ring = None
         self._y_state = None
         self._dumps = None
+        self._fused_prep = None
         self._gen_cache: Dict = {}
         self._stream_t: Optional[int] = None  # begin_stream/feed cursor
 
@@ -152,6 +153,18 @@ class WaveNetInfer:
         self._params = None
         self._params_cast = None
         self._cond_pre = None
+        self._fused_prep = None
+
+    def _fused_weights(self):
+        """Folded fused-chain operand tuple, computed ONCE per weight upload
+        (the O(L^2) residual-stream fold must not re-run on every chunked /
+        streaming dispatch of the latency-oriented fast decode)."""
+        if self._fused_prep is None:
+            self._fused_prep = jax.jit(
+                lambda p: fused_chain.prepare_weights(
+                    p, self.cfg, True, self.weight_dtype)
+            )(self._device_params())
+        return self._fused_prep
 
     def set_embeddings(self, embed_prev, embed_cur):
         """embed_prev/embed_cur: [R, A] (column per symbol)."""
@@ -348,7 +361,7 @@ class WaveNetInfer:
         return 2 if self.weight_dtype == jnp.bfloat16 else 4
 
     def _effective_chunk(self, batch, stream: bool = False,
-                         dump: bool = False) -> int:
+                         dump: bool = False, forced: bool = False) -> int:
         """Largest chunk <= chunk_size whose double-buffered conditioning
         stream + weights + ring fit the VMEM budget (the planning analog of
         the reference's occupancy tuning, `README.md:66`).
@@ -365,12 +378,14 @@ class WaveNetInfer:
         b_dev = self._per_device(batch)
         if self.fuse_chain and not stream and not dump:
             est = functools.partial(fused_chain.estimate_vmem_bytes,
-                                    self.cfg, b_dev, weight_bytes=wb)
+                                    self.cfg, b_dev, weight_bytes=wb,
+                                    forced=forced)
         else:
             est = functools.partial(persistent.estimate_vmem_bytes,
                                     self.cfg, b_dev, weight_bytes=wb,
                                     stream=stream,
-                                    stream_group_size=self.stream_group_size)
+                                    stream_group_size=self.stream_group_size,
+                                    forced=forced, dump=dump)
         chunk = max(8, self.chunk_size - self.chunk_size % 8)
         while chunk > 8 and est(chunk=chunk) > self.vmem_budget:
             chunk //= 2
@@ -432,7 +447,8 @@ class WaveNetInfer:
         return self.interpret or jax.default_backend() == "cpu"
 
     def _persistent_gen(self, batch, mode, dump, stream=False):
-        chunk = self._effective_chunk(batch, stream, dump)
+        chunk = self._effective_chunk(batch, stream, dump,
+                                      forced=(mode == "forced"))
         fused = self.fuse_chain and not stream and not dump
         quant = bool(self.stream_quant) and stream
         key = ("persistent", batch, chunk, mode, dump, stream, fused, quant,
@@ -546,8 +562,11 @@ class WaveNetInfer:
         # chunk multiple; padded tail steps are masked in-kernel so carried
         # state stays exact at ragged boundaries
         stream = impl == Impl.MANYBLOCK
-        params = self._device_params()
-        chunk = self._effective_chunk(B, stream, dump)
+        fused = (self.mesh is None and self.fuse_chain and not stream
+                 and not dump)
+        params = self._fused_weights() if fused else self._device_params()
+        chunk = self._effective_chunk(B, stream, dump,
+                                      forced=(mode == "forced"))
         pad = (-T) % chunk
         if pad:
             cond_pre = jnp.pad(cond_pre, ((0, pad), (0, 0), (0, 0), (0, 0)))

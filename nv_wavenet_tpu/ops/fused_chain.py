@@ -245,10 +245,33 @@ FOLDED_ORDER = ("embed", "wprev", "wres", "bres", "g_pack", "wcur_cat",
                 "end_b")
 
 
+def _row2d(x) -> jax.Array:
+    x = jnp.asarray(x, jnp.float32)
+    return x if x.ndim > 1 else x[None]
+
+
+def prepare_weights(params: Dict, cfg: WaveNetConfig, prefold_cond: bool,
+                    weight_dtype=jnp.float32):
+    """The O(L^2) weight fold + cast as a separate jittable step, returning
+    the kernel operand tuple (FOLDED_ORDER).  Callers that reuse weights
+    across many generate calls (the engine's chunked / streaming dispatch)
+    run this ONCE per weight upload; `generate` also accepts a raw params
+    dict and folds inline (single-shot tools and tests)."""
+    folded = fold_params(params, cfg, prefold_cond)
+    folded["embed"] = jnp.asarray(params["embed"], jnp.float32)
+    folded["out_w"] = jnp.asarray(params["out_w"], jnp.float32)
+    folded["out_b"] = _row2d(params["out_b"])
+    folded["end_w"] = jnp.asarray(params["end_w"], jnp.float32)
+    folded["end_b"] = _row2d(params["end_b"])
+    return tuple(folded[k].astype(weight_dtype) for k in FOLDED_ORDER)
+
+
 def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
-                        weight_bytes: int = 4, act_bytes: int = 4) -> int:
+                        weight_bytes: int = 4, act_bytes: int = 4,
+                        forced: bool = False) -> int:
     """VMEM plan for the fused kernel (adds the O(L^2 R^2 / 2) G stack and
-    the [B, L*P] gate buffer on top of the persistent plan's common parts)."""
+    the [B, L*P] gate buffer on top of the persistent plan's common parts).
+    forced=True adds the double-buffered [chunk, B, A] p_seq output."""
     L, R, S, A, B = cfg.num_layers, cfg.R, cfg.S, cfg.A, batch
     P = _row_stride(R)
     wb, ab = weight_bytes, act_bytes
@@ -271,9 +294,10 @@ def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
     sel = 2 * _padded_bytes((chunk, B), 4)
     y = 2 * _padded_bytes((chunk, B), 4)
     hbuf = _padded_bytes((B, L * P), ab)
+    p_seq = 2 * _padded_bytes((chunk, B, A), 4) if forced else 0
     work = _padded_bytes((B, 8 * R + 4 * S + 8 * A), 4)
     spill = 4 * 1024 * 1024
-    return weights + ring + cond + sel + y + hbuf + work + spill
+    return weights + ring + cond + sel + y + hbuf + p_seq + work + spill
 
 
 def make_fused_generator(cfg: WaveNetConfig, batch: int, chunk: int,
@@ -334,19 +358,17 @@ def make_fused_generator(cfg: WaveNetConfig, batch: int, chunk: int,
     n_w = len(FOLDED_ORDER)
     aliases = {1 + n_w + 2: 1, 1 + n_w + 3: 2}  # ring, y_state
 
-    def generate(params: Dict, t0, cond, sel, ring, y_state, n_valid=None,
+    def generate(params, t0, cond, sel, ring, y_state, n_valid=None,
                  seed=0):
+        """params: canonical dict (folded inline) or a pre-folded operand
+        tuple from `prepare_weights` (must match this builder's
+        prefold_cond/weight_dtype)."""
         T = cond.shape[0]
         assert T % chunk == 0, f"T={T} must be a multiple of chunk={chunk}"
         if n_valid is None:
             n_valid = T
-        folded = fold_params(params, cfg, prefold_cond)
-        folded["embed"] = jnp.asarray(params["embed"], jnp.float32)
-        folded["out_w"] = jnp.asarray(params["out_w"], jnp.float32)
-        folded["out_b"] = jnp.asarray(params["out_b"], jnp.float32)[None]
-        folded["end_w"] = jnp.asarray(params["end_w"], jnp.float32)
-        folded["end_b"] = jnp.asarray(params["end_b"], jnp.float32)[None]
-        weights = [folded[k].astype(weight_dtype) for k in FOLDED_ORDER]
+        weights = (prepare_weights(params, cfg, prefold_cond, weight_dtype)
+                   if isinstance(params, dict) else tuple(params))
 
         out_shape = [
             jax.ShapeDtypeStruct((T, B), jnp.int32),

@@ -403,7 +403,9 @@ def _padded_bytes(shape, dtype_bytes: int) -> int:
 def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
                         weight_bytes: int = 4, act_bytes: int = 4,
                         stream: bool = False,
-                        stream_group_size: int = 8) -> int:
+                        stream_group_size: int = 8,
+                        forced: bool = False,
+                        dump: bool = False) -> int:
     """VMEM budget estimate — the planning analog of the reference's
     occupancy assert (`nv_wavenet_util.cuh:42-58`).
 
@@ -440,9 +442,16 @@ def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
     sel = 2 * _padded_bytes((chunk, B), 4)
     y = 2 * _padded_bytes((chunk, B), 4)
     y_state = 2 * 2 * _padded_bytes((2, B), 4)           # in + out windows
+    # forced (teacher-forced scoring) emits the double-buffered per-step
+    # probability block [chunk, B, A]
+    p_seq = 2 * _padded_bytes((chunk, B, A), 4) if forced else 0
+    # last-step activation dump outputs (not chunk-scaled)
+    dump_b = (_padded_bytes((L, B, R), 4) + _padded_bytes((L, B, S), 4)
+              + 3 * _padded_bytes((B, A), 4)) if dump else 0
     work = _padded_bytes((B, 8 * R + 4 * S + 8 * A), 4)  # rough live set
     spill = 4 * 1024 * 1024                              # register spills
-    return weights + ring + cond + sel + y + y_state + work + spill
+    return (weights + ring + cond + sel + y + y_state + p_seq + dump_b
+            + work + spill)
 
 
 def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,

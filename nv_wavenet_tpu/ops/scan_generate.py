@@ -189,38 +189,35 @@ def generate(params: Dict, state: GenState, cond: jax.Array, selectors: jax.Arra
     return_za=True, else None.
     """
     seed = jnp.asarray(seed, jnp.int32)
+    xs = ((cond, selectors) if forced_y is None
+          else (cond, selectors, forced_y))
 
-    def body(st, inp):
-        cond_t, sel_t, forced_t = inp
+    def body(carry, inp):
+        st = carry[0] if dump else carry
+        cond_t, sel_t, *rest = inp          # forced_y column iff supplied
         new_st, y, aux = wavenet_step(params, st, cond_t, sel_t, cfg, mode,
-                                      compute_dtype, forced_y_t=forced_t,
+                                      compute_dtype,
+                                      forced_y_t=rest[0] if rest else None,
                                       seed=seed)
         if dump:
-            return new_st, (y, aux)
+            # carry ONLY the latest step's activations — stacking all T
+            # would materialize O(T*L*B*(R+S)) HBM for data discarded below
+            return (new_st, aux), y
         if return_za:
             return new_st, (y, aux["za"])
         return new_st, y
 
-    if forced_y is None:
-        # scan requires a uniform pytree; use selectors' shape as a dummy that
-        # is never read (forced_y_t=None is resolved statically below)
-        def body_nf(st, inp):
-            cond_t, sel_t = inp
-            new_st, y, aux = wavenet_step(params, st, cond_t, sel_t, cfg, mode,
-                                          compute_dtype, seed=seed)
-            if dump:
-                return new_st, (y, aux)
-            if return_za:
-                return new_st, (y, aux["za"])
-            return new_st, y
-        final_state, out = jax.lax.scan(body_nf, state, (cond, selectors))
-    else:
-        final_state, out = jax.lax.scan(body, state,
-                                        (cond, selectors, forced_y))
     if dump:
-        ys, auxes = out
-        last_aux = jax.tree.map(lambda a: a[-1], auxes)
+        aux_shape = jax.eval_shape(
+            lambda p, st, c, s: wavenet_step(
+                p, st, c, s, cfg, mode, compute_dtype,
+                forced_y_t=None if forced_y is None else forced_y[0],
+                seed=seed)[2],
+            params, state, cond[0], selectors[0])
+        aux0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux_shape)
+        (final_state, last_aux), ys = jax.lax.scan(body, (state, aux0), xs)
         return final_state, ys.T, last_aux
+    final_state, out = jax.lax.scan(body, state, xs)
     if return_za:
         ys, zas = out
         return final_state, ys.T, zas
