@@ -78,18 +78,60 @@ def main():
     assert np.allclose(psum, 1.0, atol=1e-5), psum
     print("dump mode OK (p sums to 1)", flush=True)
 
-    # fused (collapsed-chain) fast decode: trajectory agreement with the
-    # exact path on this case (distribution contract; fold error ~5e-6 TV).
+    # int8 weight streaming (MANYBLOCK stream_quant): the quantize ->
+    # in-kernel-dequantize round trip is deterministic, so the kernel must
+    # BIT-MATCH the scan generator fed the dequantized weights — the
+    # exactness contract carried to the int8 tier, compiled on hardware.
+    t0 = time.time()
+    from nv_wavenet_tpu.ops import persistent, scan_generate
+    interp = jax.default_backend() == "cpu"   # CPU smoke runs of this drive
+    eq = make(Impl.MANYBLOCK, stream_quant="int8")
+    yq = eq.run(T, B)
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    params_dq = persistent.dequantize_stream_params(params)
+    st = scan_generate.init_state(cfg, B)
+    _, y_scan, _ = scan_generate.generate(params_dq, st, jnp.asarray(cond),
+                                          jnp.asarray(sel), cfg)
+    assert np.array_equal(yq, np.asarray(y_scan)), (
+        f"int8-stream mismatch (agreement "
+        f"{np.mean(yq == np.asarray(y_scan)):.3f})")
+    print(f"int8 weight-streaming exact-match OK "
+          f"({time.time() - t0:.0f}s incl. compile)", flush=True)
+
+    # fused (collapsed-chain) fast decode: governed by the teacher-forced
+    # TV-distance contract (tests/test_fused_chain.py), not exact match —
+    # the residual-stream fold reassociates fp32 sums.  Measure the forced-
+    # mode TV against the exact kernel ON HARDWARE and report it.
     # Non-fatal: the fused mode is opt-in, and a failure here must not
     # abort the exact-path verification this drive exists for.
     t0 = time.time()
     try:
+        from nv_wavenet_tpu.ops import fused_chain
+        forced = y_gold.T.astype(np.float32)                 # [T, B]
+        chunkf = 8
+        ring0 = persistent.init_ring(cfg, B)
+        ys0 = jnp.full((2, B), cfg.silence_bin, jnp.int32)
+
+        def forced_probs(make_gen):
+            gen = make_gen(cfg, B, chunkf, mode="forced", interpret=interp)
+            out = gen(params, np.array([0]), jnp.asarray(cond),
+                      jnp.asarray(forced), ring0, ys0, n_valid=T)
+            assert np.array_equal(np.asarray(out[0]), forced.astype(np.int32))
+            p = np.asarray(out[-1], np.float64)
+            return p / p.sum(-1, keepdims=True)
+
+        p_exact = forced_probs(persistent.make_persistent_generator)
+        p_fused = forced_probs(fused_chain.make_fused_generator)
+        t = 0.5 * np.abs(p_fused - p_exact).sum(-1)
         ef = make(Impl.PERSISTENT, fuse_chain=True)
-        yfu = ef.run(T, B)
-        agree = float(np.mean(yfu == y_gold))
-        assert agree >= 0.99, f"fused agreement {agree:.3f}"
-        print(f"fused-chain agreement {agree:.3f} OK "
-              f"({time.time() - t0:.0f}s)", flush=True)
+        agree = float(np.mean(ef.run(T, B) == y_gold))
+        print(f"fused TV mean/p99/max = {t.mean():.2e}/"
+              f"{np.percentile(t, 99):.2e}/{t.max():.2e}, trajectory "
+              f"agreement {agree:.3f} ({time.time() - t0:.0f}s)", flush=True)
+        assert t.mean() < 0.01 and t.max() < 0.2, (
+            f"fused TV out of contract: mean {t.mean():.3g} max {t.max():.3g}")
+        print("fused-chain TV contract OK", flush=True)
     except Exception as e:
         print(f"WARNING: fused-chain check FAILED (non-fatal): "
               f"{type(e).__name__}: {e}", flush=True)
