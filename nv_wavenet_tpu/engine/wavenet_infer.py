@@ -562,8 +562,7 @@ class WaveNetInfer:
         # chunk multiple; padded tail steps are masked in-kernel so carried
         # state stays exact at ragged boundaries
         stream = impl == Impl.MANYBLOCK
-        fused = (self.mesh is None and self.fuse_chain and not stream
-                 and not dump)
+        fused = self.fuse_chain and not stream and not dump
         params = self._fused_weights() if fused else self._device_params()
         chunk = self._effective_chunk(B, stream, dump,
                                       forced=(mode == "forced"))

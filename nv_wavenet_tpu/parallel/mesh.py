@@ -162,14 +162,19 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
 
     if fuse_chain and not stream_weights and not dump:
         # collapsed-chain fast decode (ops/fused_chain.py): same call
-        # signature and state format, so the shard_map wrapper is identical;
-        # the weight fold runs replicated per shard (one-time, tiny)
+        # signature and state format, so the shard_map wrapper is identical.
+        # The caller passes the PRE-FOLDED operand tuple (engine
+        # _fused_weights: one O(L^2) fold per weight upload), replicated —
+        # folding inline here would re-run the fold inside every jitted
+        # dispatch, exactly the per-call overhead the latency tier exists
+        # to avoid.
         from nv_wavenet_tpu.ops import fused_chain
         gen = fused_chain.make_fused_generator(
             cfg, batch_per_device, chunk, mode=mode,
             weight_dtype=weight_dtype, compute_dtype=compute_dtype,
             interpret=interpret, prefold_cond=prefold_cond,
             fast_math=fast_math)
+        param_spec = tuple(P() for _ in fused_chain.FOLDED_ORDER)
     else:
         gen = persistent.make_persistent_generator(
             cfg, batch_per_device, chunk, mode=mode, weight_dtype=weight_dtype,
@@ -177,6 +182,8 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
             prefold_cond=prefold_cond, fast_math=fast_math, dump=dump,
             stream_weights=stream_weights, stream_group_size=stream_group_size,
             stream_prefetch=stream_prefetch, stream_quant=stream_quant)
+        param_spec = jax.tree.map(lambda _: P(), dict.fromkeys(
+            persistent.PARAM_ORDER, 0))
 
     def local_gen(params, scalars, cond, sel, ring, y_state):
         # decorrelate mode="prng" draws across shards: the kernel reseeds
@@ -190,9 +197,6 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
         out = gen(params, scalars[0:1], cond, sel, ring, y_state,
                   n_valid=scalars[1], seed=seed)
         return tuple(out)
-
-    param_spec = jax.tree.map(lambda _: P(), dict.fromkeys(
-        persistent.PARAM_ORDER, 0))
 
     out_specs = [P(None, "data"), P(None, "data", None), P(None, "data")]
     if dump:
