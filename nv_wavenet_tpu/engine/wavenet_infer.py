@@ -142,6 +142,7 @@ class WaveNetInfer:
         self._y_state = None
         self._dumps = None
         self._fused_prep = None
+        self._warned_fuse_vmem = False
         self._gen_cache: Dict = {}
         self._stream_t: Optional[int] = None  # begin_stream/feed cursor
 
@@ -376,7 +377,7 @@ class WaveNetInfer:
         multiple (interpret-mode tests don't enforce this; hardware does)."""
         wb = self._weight_bytes()
         b_dev = self._per_device(batch)
-        if self.fuse_chain and not stream and not dump:
+        if self._fuse_active(batch, stream, dump, forced):
             est = functools.partial(fused_chain.estimate_vmem_bytes,
                                     self.cfg, b_dev, weight_bytes=wb,
                                     forced=forced)
@@ -395,6 +396,31 @@ class WaveNetInfer:
         """Per-chip batch: VMEM planning is per core, so the mesh divides the
         utterance batch before any estimate."""
         return batch // self.mesh.shape["data"] if self.mesh else batch
+
+    def _fuse_active(self, batch, stream: bool, dump: bool,
+                     forced: bool = False) -> bool:
+        """Whether this dispatch uses the collapsed-chain kernel: fuse_chain
+        requested, not a streaming/dump run, AND the fused plan (which adds
+        the O(L^2 R^2/2) G stack over the persistent plan) fits the VMEM
+        budget at the minimum chunk.  On large configs (e.g. 40L/128R) the
+        fused plan can exceed VMEM where the persistent plan fits; silently
+        routing to the fused kernel there fails the Pallas compile on VMEM
+        overflow instead of generating — fall back to the exact kernel and
+        say so once."""
+        if not self.fuse_chain or stream or dump:
+            return False
+        est = fused_chain.estimate_vmem_bytes(
+            self.cfg, self._per_device(batch), chunk=8,
+            weight_bytes=self._weight_bytes(), forced=forced)
+        if est > self.vmem_budget:
+            if not self._warned_fuse_vmem:
+                print(f"note: fuse_chain disabled — fused plan needs "
+                      f"~{est / 2**20:.0f} MB VMEM at the minimum chunk, "
+                      f"budget is {self.vmem_budget / 2**20:.0f} MB; "
+                      f"using the exact kernel", flush=True)
+                self._warned_fuse_vmem = True
+            return False
+        return True
 
     def _resolve_impl(self, batch) -> Impl:
         impl = self.implementation
@@ -449,7 +475,8 @@ class WaveNetInfer:
     def _persistent_gen(self, batch, mode, dump, stream=False):
         chunk = self._effective_chunk(batch, stream, dump,
                                       forced=(mode == "forced"))
-        fused = self.fuse_chain and not stream and not dump
+        fused = self._fuse_active(batch, stream, dump,
+                                  forced=(mode == "forced"))
         quant = bool(self.stream_quant) and stream
         key = ("persistent", batch, chunk, mode, dump, stream, fused, quant,
                self.stream_group_size, self.stream_prefetch)
@@ -562,7 +589,7 @@ class WaveNetInfer:
         # chunk multiple; padded tail steps are masked in-kernel so carried
         # state stays exact at ragged boundaries
         stream = impl == Impl.MANYBLOCK
-        fused = self.fuse_chain and not stream and not dump
+        fused = self._fuse_active(B, stream, dump, forced=(mode == "forced"))
         params = self._fused_weights() if fused else self._device_params()
         chunk = self._effective_chunk(B, stream, dump,
                                       forced=(mode == "forced"))
@@ -677,10 +704,16 @@ class WaveNetInfer:
         return self._fetch_y(y)
 
     def run_chunks(self, chunk_size: int, consume: Callable, num_samples: int,
-                   batch_size: int, mode: str = "sample") -> np.ndarray:
+                   batch_size: int, mode: str = "sample",
+                   dump_activations: bool = False) -> np.ndarray:
         """Chunked generation with a host consume callback per chunk —
-        `run_chunks` parity (`nv_wavenet.cuh:445-497`).  The callback receives
-        (y_chunk [B, n], sample_offset, n).
+        `run_chunks` parity (`nv_wavenet.cuh:445-497`, incl. the
+        dumpActivations flag `nv_wavenet.cuh:446`).  The callback receives
+        (y_chunk [B, n], sample_offset, n).  With dump_activations=True the
+        getter surface reflects the run's FINAL sample afterwards — identical
+        to a single dump run of num_samples (carried state is exact across
+        chunk boundaries), like the reference equivalence test that drives
+        dumps through chunked runs.
 
         Compute/readout overlap (the reference's dual-stream + event scheme,
         P8): chunk i+1's kernel is DISPATCHED before chunk i's samples are
@@ -691,7 +724,8 @@ class WaveNetInfer:
         off = 0
         while off < num_samples:
             n = min(chunk_size, num_samples - off)
-            y_dev = self._run_partial_device(off, n, batch_size, mode, False)
+            y_dev = self._run_partial_device(off, n, batch_size, mode,
+                                             dump_activations)
             pending.append((y_dev, off, n))
             off += n
             while len(pending) > 1:

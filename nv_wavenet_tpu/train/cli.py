@@ -52,7 +52,6 @@ def main(argv=None):
         batch_size=train_c.get("batch_size", 4),
         seed=train_c.get("seed", 1234),
         iters_per_checkpoint=train_c.get("iters_per_checkpoint", 1000),
-        epochs=train_c.get("epochs", 0),
         with_tensorboard=train_c.get("with_tensorboard", False),
     )
     # resume parity (`train.py:102-107`): checkpoint_path = dir, plus the

@@ -43,7 +43,10 @@ class TrainConfig:
     batch_size: int = 4
     seed: int = 1234
     iters_per_checkpoint: int = 1000
-    epochs: int = 1
+    # NOTE: the epoch/dataset-pass schedule is config-level, not a trainer
+    # knob — `train.cli` turns config "epochs" into num_iters + an
+    # epoch_batches iterator (data.py), so there is deliberately no `epochs`
+    # field here (trainer.train consumes an iterator + num_iters only)
     # parity with the reference's `with_tensorboard` flag (`train.py:83`):
     # when set, per-iteration scalars additionally stream to
     # <ckpt_dir>/metrics.jsonl (a TensorBoard-free structured sink)

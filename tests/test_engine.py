@@ -85,6 +85,30 @@ def test_engine_uneven_chunks():
     assert chunks_seen == [(0, 7), (7, 1)]
 
 
+def test_run_chunks_dump_matches_full_run_dump():
+    """run_chunks(dump_activations=True) — the reference signature's
+    dumpActivations flag (`nv_wavenet.cuh:446`): after a ragged chunked run
+    the getter surface must equal a single full-length dump run (carried
+    state is exact across chunk boundaries)."""
+    cfg = WaveNetConfig(num_layers=8, R=32, S=128, A=256, max_dilation=8)
+    batch, samples = 2, 8
+    ref_w, cond, selectors = make_case(cfg, batch, samples, seed=37)
+
+    eng = make_engine(cfg, batch, Impl.PERSISTENT, chunk=4)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, selectors)
+    y_full = eng.run(samples, batch, dump_activations=True)
+    full = {k: eng._dumps[k].copy() for k in eng._dumps}
+
+    eng.set_inputs(cond, selectors)
+    y = eng.run_chunks(7, lambda yc, off, n: None, samples, batch,
+                       dump_activations=True)
+    assert np.array_equal(y_full, y)
+    for k in full:
+        assert np.array_equal(full[k], eng._dumps[k]), k
+    assert np.allclose(eng.get_p().sum(-1), 1.0, atol=1e-5)
+
+
 def test_engine_reuse_and_second_iteration():
     """Re-running with the same uploaded weights/state must reproduce —
     the reference runs every config twice re-using uploads

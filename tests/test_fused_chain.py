@@ -157,6 +157,38 @@ def test_engine_fuse_chain_flag(fused_case):
     assert eng_f.get_p().shape == (B, CFG.A)
 
 
+def test_fuse_chain_vmem_fallback(fused_case):
+    """When the fused plan exceeds the VMEM budget but the persistent plan
+    fits, fuse_chain must fall back to the exact kernel (and generate
+    correctly) rather than routing to a kernel whose compile would overflow
+    VMEM."""
+    from nv_wavenet_tpu.ops import fused_chain, persistent
+
+    params, cond, sel, forced, _ = fused_case
+    B, T = 8, cond.shape[0]
+    eng = WaveNetInfer(num_layers=CFG.num_layers,
+                       max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                       A=CFG.A, max_batch=B, implementation=Impl.AUTO,
+                       chunk_size=8, fuse_chain=True)
+    need_p = persistent.estimate_vmem_bytes(CFG, B, chunk=8)
+    need_f = fused_chain.estimate_vmem_bytes(CFG, B, chunk=8)
+    assert need_f > need_p   # the G stack costs something even at 6L/32R
+    eng.vmem_budget = (need_p + need_f) // 2   # persistent fits, fused not
+    assert not eng._fuse_active(B, stream=False, dump=False)
+    assert eng._resolve_impl(B) == Impl.PERSISTENT
+    eng.set_canonical_params({k: np.asarray(v) for k, v in params.items()})
+    eng.set_inputs(np.asarray(cond), np.asarray(sel))
+    y = eng.run(T, B)
+
+    exact = WaveNetInfer(num_layers=CFG.num_layers,
+                         max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                         A=CFG.A, max_batch=B,
+                         implementation=Impl.PERSISTENT, chunk_size=8)
+    exact.set_canonical_params({k: np.asarray(v) for k, v in params.items()})
+    exact.set_inputs(np.asarray(cond), np.asarray(sel))
+    assert np.array_equal(y, exact.run(T, B))   # exact-kernel fallback
+
+
 def test_mesh_engine_fused(fused_case):
     """fuse_chain under a 4-device mesh: batch shards, fused kernel per
     shard; output agrees with the single-device fused engine."""
