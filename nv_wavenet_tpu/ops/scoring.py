@@ -55,7 +55,15 @@ def score_teacher_forced_kernel(params: Dict, cfg: WaveNetConfig, cond,
     kernel invocation instead of a scan program, with the kernel's VMEM
     residency and DMA pipelining.
 
-    Same signature/semantics; returns numpy (logp [B, T-1], bits [B])."""
+    Same signature/semantics; returns numpy (logp [B, T-1], bits [B]).
+
+    Precision caveat: the kernel emits fp32 softmax PROBABILITIES, so logp
+    is computed as log(max(p, 1e-30)) — a target whose probability
+    underflows fp32 is floored at log(1e-30) (~-69 nats / ~100 bits),
+    whereas the log_softmax-based scorers (`score_teacher_forced`,
+    `score_teacher_forced_parallel`) resolve arbitrarily small tail
+    log-likelihoods.  On peaked trained models where exact tail values
+    matter, cross-check against score_teacher_forced_parallel."""
     from nv_wavenet_tpu.ops import persistent
 
     audio = np.asarray(audio)

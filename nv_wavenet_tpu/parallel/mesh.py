@@ -91,10 +91,16 @@ def fetch_local(arr, batch_axis: int) -> np.ndarray:
     the whole array."""
     if jax.process_count() == 1:
         return np.asarray(arr)
-    shards = [(s.index[batch_axis].start or 0, np.asarray(s.data))
-              for s in arr.addressable_shards]
-    shards.sort(key=lambda t: t[0])
-    return np.concatenate([d for _, d in shards], axis=batch_axis)
+    # deduplicate by batch-axis start: if the array were replicated across a
+    # non-data mesh axis, each batch block would appear once per replica and
+    # naive concatenation would duplicate utterances (inference meshes are
+    # currently data-only, but don't rely on that here)
+    shards = {}
+    for s in arr.addressable_shards:
+        shards.setdefault(s.index[batch_axis].start or 0, s)
+    return np.concatenate(
+        [np.asarray(shards[k].data) for k in sorted(shards)],
+        axis=batch_axis)
 
 
 def sharded_generate_scan(params: Dict, cfg: WaveNetConfig, mesh: Mesh,

@@ -194,7 +194,10 @@ class Mel2Samp:
         and drops the ragged final batch (DataLoader drop_last=True).
 
         epochs=None iterates forever; start_epoch implements the reference's
-        resume epoch offset (`train.py:127`)."""
+        resume epoch offset (`train.py:127`).  Segment crops are keyed on
+        (seed, epoch, clip), not drawn from the shared stream — so a resume
+        at epoch k reproduces epoch k's exact batches, not just its shuffle
+        order."""
         assert 0 <= rank < world_size
         e = start_epoch
         while epochs is None or e < epochs:
@@ -207,8 +210,11 @@ class Mel2Samp:
             order = order[rank::world_size][:len(order) // world_size]
             n_full = len(order) // batch_size * batch_size
             for i in range(0, n_full, batch_size):
-                mels, targets = zip(*[self.sample_clip(j)
-                                      for j in order[i:i + batch_size]])
+                mels, targets = zip(*[
+                    self.sample_clip(j, np.random.RandomState(
+                        (self.seed + 0x9E3779B9 * e + 0x85EBCA6B * int(j))
+                        & 0x7FFFFFFF))
+                    for j in order[i:i + batch_size]])
                 yield np.stack(mels), np.stack(targets)
             e += 1
 

@@ -81,6 +81,24 @@ def test_epoch_batches_semantics():
     assert not np.array_equal(e0, e1)
 
 
+def test_epoch_batches_resume_reproduces_crops():
+    """Epoch-offset resume (`train.py:127` analog) must reproduce not just
+    the shuffle order but the exact segment CROPS: segment starts are keyed
+    on (seed, epoch, clip), not drawn from the shared stream, so a run
+    resumed at epoch k yields bit-identical batches to the original run's
+    epoch k."""
+    clips = synthetic_clips(n_clips=5, length=9000)
+    full = list(Mel2Samp(clips, CFG, seed=11).epoch_batches(
+        batch_size=2, epochs=3))
+    spe = Mel2Samp(clips, CFG, seed=11).steps_per_epoch(batch_size=2)
+    resumed = list(Mel2Samp(clips, CFG, seed=11).epoch_batches(
+        batch_size=2, epochs=3, start_epoch=1))
+    assert len(resumed) == 2 * spe
+    for (m1, t1), (m2, t2) in zip(full[spe:], resumed):
+        assert np.array_equal(m1, m2)
+        assert np.array_equal(t1, t2)
+
+
 def test_epoch_batches_rank_sharding():
     """DistributedSampler analog: ranks see disjoint clip subsets that cover
     the (shuffled) epoch; the shuffle is identical across ranks."""

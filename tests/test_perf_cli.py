@@ -9,7 +9,7 @@ config) that mirrors the reference's documented tuning workflow
 
 import json
 
-from tools import perf
+from nv_wavenet_tpu.tools import perf
 
 
 def run_cli(capsys, args):

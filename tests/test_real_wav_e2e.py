@@ -56,7 +56,7 @@ def test_wav_to_training_to_vocoding(tmp_path):
     cfg_path.write_text(json.dumps(cfg))
 
     # 2. mel2samp CLI: wavs -> .npy mel features
-    from tools import mel2samp
+    from nv_wavenet_tpu.tools import mel2samp
     mel_dir = tmp_path / "mels"
     mel2samp.main(["-f", str(flist), "-o", str(mel_dir), "-c", str(cfg_path)])
     mels = sorted(os.listdir(mel_dir))
@@ -72,7 +72,7 @@ def test_wav_to_training_to_vocoding(tmp_path):
     assert os.path.isdir(tmp_path / "ckpt" / "it_4")
 
     # 4. inference CLI: checkpoint + precomputed mels -> wav files
-    from tools import inference
+    from nv_wavenet_tpu.tools import inference
     mlist = tmp_path / "mels.txt"
     mlist.write_text("\n".join(str(mel_dir / m) for m in mels[:2]) + "\n")
     out_dir = tmp_path / "out"

@@ -13,10 +13,11 @@ Usage: python tools/baseline_sweep.py [--samples N] [--skip-golden]
 """
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

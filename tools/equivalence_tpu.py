@@ -12,9 +12,10 @@ tolerance ladder via dump mode.
 
 Run: python tools/equivalence_tpu.py  (prints one PASS/FAIL line per config)
 """
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

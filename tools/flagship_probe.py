@@ -4,8 +4,9 @@ the real TPU across batch/dtype settings.
 Tunnel-proof measurement (on-device inputs, pipelined dispatches, tail-slice
 fetch) — see bench.py docstring and tools/probe_split.measure.
 """
+import os
 import sys
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 

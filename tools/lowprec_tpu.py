@@ -11,9 +11,10 @@ Mirrors the reference's half-precision bar (`nv_wavenet_test.cu:296-298`:
 p@1e-3 under T_data=half).
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -2,7 +2,7 @@
 layers/batch/chunk/mode/dtype to locate fixed vs per-layer cost.  Also
 exercises prng mode on hardware."""
 import sys, time
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp

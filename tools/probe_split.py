@@ -6,7 +6,7 @@ Variants are exactness-preserving N-splits of existing matmuls, verified
 bit-exact in the CPU test suite; this tool measures whether they pay off.
 """
 import sys, time
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -23,10 +23,11 @@ force-fetches only each run's final time-slice.
 """
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
@@ -60,6 +61,42 @@ def measure_mesh_size(cfg, n, per_chip_batch, chunk, T, iters, interpret):
             "samples_per_sec_per_chip": round(khz_utt * B * 1e3 / n, 0)}
 
 
+def hlo_collective_census(cfg, n, per_chip_batch, chunk, T=64):
+    """Compile the sharded generator for an n-device mesh and count
+    collective ops in the optimized HLO.  The scaling claim's structural
+    basis is that the sample loop is communication-free (weights replicated,
+    batch sharded, per-chip state) — on a virtual CPU mesh the TIMING is
+    contention-noise, but the compiled module is the same program XLA would
+    run on a pod, so a zero census here transfers to real ICI."""
+    import jax
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.models import params as params_lib
+    from nv_wavenet_tpu.ops import persistent
+    from nv_wavenet_tpu.parallel import mesh as mesh_lib
+
+    B = per_chip_batch * n
+    mesh = mesh_lib.data_mesh(n)
+    gen = mesh_lib.make_sharded_persistent_generator(
+        cfg, mesh, per_chip_batch, chunk, interpret=True, prefold_cond=True)
+    shapes = {k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+              for k, v in params_lib.to_canonical(
+                  params_lib.random_reference_weights(cfg, seed=0),
+                  cfg).items()}
+    ring = persistent.init_ring(cfg, B)
+    args = (shapes, jax.ShapeDtypeStruct((3,), jnp.int32),
+            jax.ShapeDtypeStruct((T, cfg.num_layers, B, 2 * cfg.R),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((T, B), jnp.float32),
+            jax.ShapeDtypeStruct(ring.shape, ring.dtype),
+            jax.ShapeDtypeStruct((2, B), jnp.int32))
+    txt = gen.lower(*args).compile().as_text()
+    census = {op: txt.count(op) for op in
+              ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all")}
+    return census
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-l", "--layers", type=int, default=20)
@@ -74,7 +111,21 @@ def main(argv=None):
     ap.add_argument("--mesh_sizes", default=None,
                     help="comma list; default 1..n_devices in powers of 2")
     ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="run on N virtual CPU devices (harness/sharding "
+                         "validation without a pod; this machine's "
+                         "sitecustomize ignores JAX_PLATFORMS, so the "
+                         "switch must happen in-process)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        if "--xla_force_host_platform_device_count" not in os.environ.get(
+                "XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.cpu}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from nv_wavenet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -104,15 +155,23 @@ def main(argv=None):
         print(json.dumps(rec), flush=True)
 
     base = rows[0]
+    census = hlo_collective_census(cfg, max(sizes), args.per_chip_batch,
+                                   args.chunk)
     summary = {
         "scaling": rows,
         # linear-scaling efficiency at the largest mesh: total throughput
-        # relative to mesh_size x the smallest mesh's total
+        # relative to mesh_size x the smallest mesh's total.  On virtual CPU
+        # meshes all "devices" share the host's cores, so this measures core
+        # contention, not ICI scaling — the structural evidence there is the
+        # collective census (zero = each chip's sample loop is independent)
         "efficiency": round(
             (rows[-1]["khz_total"] / rows[-1]["mesh_size"])
             / (base["khz_total"] / base["mesh_size"]), 3),
+        "hlo_collectives": census,
     }
     print(json.dumps(summary), flush=True)
+    assert not any(census.values()), (
+        f"collectives appeared in the sharded sample loop: {census}")
     return summary
 
 

@@ -1,9 +1,10 @@
 """Quick real-TPU smoke: compile + run the persistent kernel, compare to the
 numpy golden model, print a rough samples/sec. Run on a machine with a TPU."""
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp

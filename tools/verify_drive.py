@@ -6,10 +6,11 @@ Covers: ragged run_chunks exact-match, MANYBLOCK (HBM-streaming kernel) vs
 PERSISTENT identity, bf16-weights cross-impl identity, dump-mode p
 normalization, and streaming feed parity — all compiled on hardware.
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
