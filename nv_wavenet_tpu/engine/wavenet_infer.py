@@ -74,6 +74,7 @@ class WaveNetInfer:
                  stream_prefetch: bool = False,
                  stream_quant: Optional[str] = None,
                  fuse_chain: bool = False,
+                 fuse_pack: bool = False,
                  mesh=None):
         self.cfg = WaveNetConfig(num_layers=num_layers, R=R, S=S, A=A,
                                  max_dilation=max_dilation,
@@ -109,6 +110,10 @@ class WaveNetInfer:
         # contract like bf16/fast_math.  Activation-dump runs always use the
         # exact kernel (the getters are a debug surface).
         self.fuse_chain = fuse_chain
+        # tight R-lane gate packing inside the fused kernel (for R<128:
+        # halves the dependent chain matmuls' K extent and the G stack's
+        # VMEM; see ops/fused_chain._row_stride)
+        self.fuse_pack = fuse_pack
         self.sampling_seed = 0  # used by mode="prng" (in-kernel TPU PRNG)
         # multi-chip batch sharding: a jax Mesh with a 'data' axis.  Weights
         # replicate, the utterance batch shards, and the sample loop stays
@@ -163,7 +168,7 @@ class WaveNetInfer:
         if self._fused_prep is None:
             self._fused_prep = jax.jit(
                 lambda p: fused_chain.prepare_weights(
-                    p, self.cfg, True, self.weight_dtype)
+                    p, self.cfg, True, self.weight_dtype, self.fuse_pack)
             )(self._device_params())
         return self._fused_prep
 
@@ -380,7 +385,8 @@ class WaveNetInfer:
         if self._fuse_active(batch, stream, dump, forced):
             est = functools.partial(fused_chain.estimate_vmem_bytes,
                                     self.cfg, b_dev, weight_bytes=wb,
-                                    forced=forced)
+                                    forced=forced,
+                                    pack_gates=self.fuse_pack)
         else:
             est = functools.partial(persistent.estimate_vmem_bytes,
                                     self.cfg, b_dev, weight_bytes=wb,
@@ -411,7 +417,8 @@ class WaveNetInfer:
             return False
         est = fused_chain.estimate_vmem_bytes(
             self.cfg, self._per_device(batch), chunk=8,
-            weight_bytes=self._weight_bytes(), forced=forced)
+            weight_bytes=self._weight_bytes(), forced=forced,
+            pack_gates=self.fuse_pack)
         if est > self.vmem_budget:
             if not self._warned_fuse_vmem:
                 print(f"note: fuse_chain disabled — fused plan needs "
@@ -479,7 +486,7 @@ class WaveNetInfer:
                                   forced=(mode == "forced"))
         quant = bool(self.stream_quant) and stream
         key = ("persistent", batch, chunk, mode, dump, stream, fused, quant,
-               self.stream_group_size, self.stream_prefetch)
+               self.stream_group_size, self.stream_prefetch, self.fuse_pack)
         if key not in self._gen_cache:
             if self.mesh is not None:
                 from nv_wavenet_tpu.parallel import mesh as mesh_lib
@@ -493,7 +500,7 @@ class WaveNetInfer:
                     stream_group_size=self.stream_group_size,
                     stream_prefetch=self.stream_prefetch,
                     stream_quant=quant,
-                    fuse_chain=fused)
+                    fuse_chain=fused, fuse_pack=self.fuse_pack)
             elif fused:
                 self._gen_cache[key] = jax.jit(
                     fused_chain.make_fused_generator(
@@ -502,7 +509,8 @@ class WaveNetInfer:
                         compute_dtype=self.compute_dtype,
                         interpret=self._interpret(),
                         fast_math=self.fast_math,
-                        prefold_cond=True))
+                        prefold_cond=True,
+                        pack_gates=self.fuse_pack))
             else:
                 self._gen_cache[key] = jax.jit(
                     persistent.make_persistent_generator(

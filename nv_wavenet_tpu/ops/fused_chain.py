@@ -51,18 +51,29 @@ from nv_wavenet_tpu.ops.persistent import (
     _padded_bytes)
 
 
-def _row_stride(R: int) -> int:
-    """Per-layer row block inside the packed G / h buffers: gate outputs are
-    stored on 128-lane-aligned column blocks (pad rows of G are zero, so the
-    pad contributes exactly 0 to every matmul)."""
-    return max(R, 128)
+def _row_stride(R: int, pack_gates: bool = False) -> int:
+    """Per-layer row block inside the packed G / h buffers.
+
+    Default: gate outputs are stored on 128-lane-aligned column blocks (pad
+    rows of G are zero, so the pad contributes exactly 0 to every matmul).
+
+    pack_gates=True stores them tightly at R-lane stride (like the dilation
+    ring's lane packing, which already exercises R-multiple lane offsets on
+    hardware): for R<128 this halves/quarters the K extent of every
+    dependent chain matmul — the exact cost DESIGN.md identifies as eating
+    the collapsed-chain gain under fp32 HIGHEST (layer l's chain matmul has
+    K = l*stride) — and shrinks the O(L^2 R P/2) G stack's VMEM by the same
+    factor.  Zero-pad removal changes MXU accumulation grouping, which is
+    within this mode's TV contract (the fused fold already reassociates)."""
+    return R if pack_gates else max(R, 128)
 
 
-def fold_params(params: Dict, cfg: WaveNetConfig, prefold_cond: bool):
+def fold_params(params: Dict, cfg: WaveNetConfig, prefold_cond: bool,
+                pack_gates: bool = False):
     """Precompute the collapsed-chain weights (fp32, HIGHEST) from canonical
     params.  Returns a dict of extra arrays consumed by the kernel."""
     L, R, S = cfg.num_layers, cfg.R, cfg.S
-    P = _row_stride(R)
+    P = _row_stride(R, pack_gates)
     hi = jax.lax.Precision.HIGHEST
     dil_w = jnp.asarray(params["dil_w"], jnp.float32)      # [L, 2R, 2R]
     rs_w = jnp.asarray(params["rs_w"], jnp.float32)        # [L, R, R+S]
@@ -105,7 +116,7 @@ def fold_params(params: Dict, cfg: WaveNetConfig, prefold_cond: bool):
 
 
 def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
-                 compute_dtype, precision, unroll,
+                 compute_dtype, precision, unroll, pack_gates,
                  t0_ref,
                  embed, wprev, wres, bres, g_pack, wcur_cat, wskip_cat,
                  fbias, skipb, out_w, out_b, end_w, end_b,
@@ -113,7 +124,7 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                  y_out, ring_out, y_state_out, *rest):
     L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
     B = batch
-    P = _row_stride(R)
+    P = _row_stride(R, pack_gates)
     dils = cfg.dilations
     _, _, p_offs, lane_slots = cfg.packed_ring_plan()
     if mode == "forced":
@@ -251,13 +262,15 @@ def _row2d(x) -> jax.Array:
 
 
 def prepare_weights(params: Dict, cfg: WaveNetConfig, prefold_cond: bool,
-                    weight_dtype=jnp.float32):
+                    weight_dtype=jnp.float32, pack_gates: bool = False):
     """The O(L^2) weight fold + cast as a separate jittable step, returning
     the kernel operand tuple (FOLDED_ORDER).  Callers that reuse weights
     across many generate calls (the engine's chunked / streaming dispatch)
     run this ONCE per weight upload; `generate` also accepts a raw params
-    dict and folds inline (single-shot tools and tests)."""
-    folded = fold_params(params, cfg, prefold_cond)
+    dict and folds inline (single-shot tools and tests).  pack_gates must
+    match the consuming builder's setting (it changes g_pack/wskip_cat row
+    strides)."""
+    folded = fold_params(params, cfg, prefold_cond, pack_gates)
     folded["embed"] = jnp.asarray(params["embed"], jnp.float32)
     folded["out_w"] = jnp.asarray(params["out_w"], jnp.float32)
     folded["out_b"] = _row2d(params["out_b"])
@@ -268,12 +281,13 @@ def prepare_weights(params: Dict, cfg: WaveNetConfig, prefold_cond: bool,
 
 def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
                         weight_bytes: int = 4, act_bytes: int = 4,
-                        forced: bool = False) -> int:
+                        forced: bool = False,
+                        pack_gates: bool = False) -> int:
     """VMEM plan for the fused kernel (adds the O(L^2 R^2 / 2) G stack and
     the [B, L*P] gate buffer on top of the persistent plan's common parts).
     forced=True adds the double-buffered [chunk, B, A] p_seq output."""
     L, R, S, A, B = cfg.num_layers, cfg.R, cfg.S, cfg.A, batch
-    P = _row_stride(R)
+    P = _row_stride(R, pack_gates)
     wb, ab = weight_bytes, act_bytes
     weights = (_padded_bytes((2 * A, R), wb)
                + _padded_bytes((L, R, 2 * R), wb)
@@ -307,23 +321,28 @@ def make_fused_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                          interpret: bool = False,
                          unroll: int = 1,
                          fast_math: bool = False,
-                         prefold_cond: bool = False):
+                         prefold_cond: bool = False,
+                         pack_gates: bool = False):
     """Build a jittable collapsed-chain `generate(params, t0, cond, sel,
     ring, y_state, n_valid=None, seed=0)` with the same call signature,
     state format (init_ring) and output convention as the persistent
     generator — the engine swaps builders transparently.
 
     Modes: sample / argmax / prng / forced (no dump — the activation getters
-    are a debug surface and use the exact kernel)."""
+    are a debug surface and use the exact kernel).
+
+    pack_gates=True stores gate outputs at tight R-lane stride instead of
+    128-aligned blocks (see _row_stride) — for R<128 it halves the dependent
+    chain matmuls' K extent and the G stack's VMEM."""
     L, R, S, A = cfg.num_layers, cfg.R, cfg.S, cfg.A
     B = batch
-    P = _row_stride(R)
+    P = _row_stride(R, pack_gates)
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32 and not fast_math
                  else jax.lax.Precision.DEFAULT)
 
     kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode,
-                               compute_dtype, precision, unroll)
+                               compute_dtype, precision, unroll, pack_gates)
 
     g_rows = max(P * L * (L - 1) // 2, P)
     w_shapes = {
@@ -367,7 +386,8 @@ def make_fused_generator(cfg: WaveNetConfig, batch: int, chunk: int,
         assert T % chunk == 0, f"T={T} must be a multiple of chunk={chunk}"
         if n_valid is None:
             n_valid = T
-        weights = (prepare_weights(params, cfg, prefold_cond, weight_dtype)
+        weights = (prepare_weights(params, cfg, prefold_cond, weight_dtype,
+                                   pack_gates)
                    if isinstance(params, dict) else tuple(params))
 
         out_shape = [

@@ -147,7 +147,8 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
                                       stream_group_size: int = 8,
                                       stream_prefetch: bool = False,
                                       stream_quant: bool = False,
-                                      fuse_chain: bool = False):
+                                      fuse_chain: bool = False,
+                                      fuse_pack: bool = False):
     """shard_map the fused Pallas kernel (VMEM-resident or HBM-streaming
     weights) over the 'data' axis: every chip runs the whole network on its
     own utterances (weights replicated in each chip's VMEM).  This is the
@@ -179,7 +180,7 @@ def make_sharded_persistent_generator(cfg: WaveNetConfig, mesh: Mesh,
             cfg, batch_per_device, chunk, mode=mode,
             weight_dtype=weight_dtype, compute_dtype=compute_dtype,
             interpret=interpret, prefold_cond=prefold_cond,
-            fast_math=fast_math)
+            fast_math=fast_math, pack_gates=fuse_pack)
         param_spec = tuple(P() for _ in fused_chain.FOLDED_ORDER)
     else:
         gen = persistent.make_persistent_generator(

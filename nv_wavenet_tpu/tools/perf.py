@@ -60,7 +60,7 @@ def build_engine(args, impl, batch, chunk, mode=None):
                         stream_group_size=args.stream_gs,
                         stream_prefetch=args.stream_prefetch,
                         stream_quant=args.stream_quant,
-                        fuse_chain=fused)
+                        fuse_chain=fused, fuse_pack=args.fused_pack)
 
 
 def device_inputs(args, T, batch):
@@ -190,6 +190,10 @@ def main():
                     choices=[16, 32])
     ap.add_argument("--compute", type=int, default=32, choices=[16, 32])
     ap.add_argument("--fast_math", action="store_true")
+    ap.add_argument("--fused_pack", action="store_true",
+                    help="with --fused: tight R-lane gate packing (for "
+                         "R<128 halves the dependent chain matmuls' K "
+                         "extent and the G stack's VMEM)")
     ap.add_argument("--fused", action="store_true",
                     help="collapsed-chain fast decode (ops/fused_chain.py): "
                          "~L+5 dependent matmuls/step instead of 2L+3; "

@@ -237,14 +237,18 @@ def test_fused_streaming_feed(fused_case):
     assert np.array_equal(y_feed, y_full)
 
 
+@pytest.mark.parametrize("pack", [False, True])
 @pytest.mark.parametrize("R,S,L,maxd", [(64, 128, 5, 4), (128, 128, 3, 2)])
-def test_fused_geometries(R, S, L, maxd):
-    """Row-stride padding paths: R=64 (P=128, 64 pad rows per block) and
-    R=128 (P=128, no pad).  Free-run agreement vs the scan on tiny cases."""
+def test_fused_geometries(R, S, L, maxd, pack):
+    """Row-stride paths: R=64 (P=128, 64 pad rows per block) and R=128
+    (P=128, no pad), each with and without tight gate packing (pack_gates:
+    P=R; for R=128 it's the identity layout).  Free-run agreement vs the
+    scan on tiny cases."""
     cfg = WaveNetConfig(num_layers=L, R=R, S=S, A=256, max_dilation=maxd)
     B, T = 2, 24
     params, cond, sel, _ = hot_case(cfg, B, T, seed=17)
-    gen = fused_chain.make_fused_generator(cfg, B, 8, interpret=True)
+    gen = fused_chain.make_fused_generator(cfg, B, 8, interpret=True,
+                                           pack_gates=pack)
     ys = jnp.full((2, B), cfg.silence_bin, jnp.int32)
     out = gen(params, np.array([0]), jnp.asarray(cond), jnp.asarray(sel),
               persistent.init_ring(cfg, B), ys, n_valid=T)
@@ -252,7 +256,45 @@ def test_fused_geometries(R, S, L, maxd):
     _, y_scan, _ = scan_generate.generate(params, st, jnp.asarray(cond),
                                           jnp.asarray(sel), cfg)
     agree = np.mean(np.asarray(out[0]) == np.asarray(y_scan).T)
-    assert agree >= 0.99, f"R={R} agreement {agree:.3f}"
+    assert agree >= 0.99, f"R={R} pack={pack} agreement {agree:.3f}"
+
+
+def test_fused_pack_gates_distribution(fused_case):
+    """pack_gates (tight R-lane gate packing): per-step probabilities stay
+    at reassociation-level error vs the exact fp32 path — dropping the
+    zero pad rows removes exact-zero terms, so the bound matches the
+    unpacked fused kernel's.  Also checks the packed plan is strictly
+    smaller (the point of the layout)."""
+    params, cond, sel, forced, p32 = fused_case
+    p_f = fused_forced_probs(CFG, params, cond, forced, 8, pack_gates=True)
+    t = tv(p32, p_f)
+    assert t.max() < 5e-4, f"max TV {t.max():.2e}"
+    assert (fused_chain.estimate_vmem_bytes(CFG, 8, 8, pack_gates=True)
+            < fused_chain.estimate_vmem_bytes(CFG, 8, 8))
+
+
+def test_engine_fuse_pack(fused_case):
+    """WaveNetInfer(fuse_chain=True, fuse_pack=True) end-to-end: trajectory
+    agreement with the exact engine, through the prefolded-weights cache
+    (the fold must be produced with matching pack_gates)."""
+    params, cond, sel, forced, _ = fused_case
+    B, T = 8, cond.shape[0]
+
+    def mk(**kw):
+        eng = WaveNetInfer(num_layers=CFG.num_layers,
+                           max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                           A=CFG.A, max_batch=B,
+                           implementation=Impl.PERSISTENT, chunk_size=8,
+                           **kw)
+        eng.set_canonical_params({k: np.asarray(v)
+                                  for k, v in params.items()})
+        eng.set_inputs(np.asarray(cond), np.asarray(sel))
+        return eng
+
+    y_exact = mk().run(T, B)
+    y_pack = mk(fuse_chain=True, fuse_pack=True).run(T, B)
+    agree = np.mean(y_exact == y_pack)
+    assert agree >= 0.99, f"fuse_pack agreement {agree:.3f}"
 
 
 def test_fused_engine_dump_planned_against_persistent_kernel(fused_case):
