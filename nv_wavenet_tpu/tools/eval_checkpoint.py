@@ -84,7 +84,7 @@ def main():
     T, B = cond.shape[0], cond.shape[2]
 
     # teacher-forced likelihood of the TRUE audio (uniform/untrained = 8.0)
-    y_true = mu_law_encode_np(np.clip(audio[:T], -1, 1))[None]
+    y_true = mu_law_encode_np(np.clip(audio[:T], -1, 1), cfg.A)[None]
     _, bits = scoring.score_teacher_forced_parallel(
         {k: jnp.asarray(v) for k, v in canon.items()}, cfg,
         jnp.asarray(cond), jnp.asarray(y_true, jnp.int32))
@@ -98,7 +98,7 @@ def main():
     eng.set_canonical_params(canon)
     eng.set_inputs(cond, selectors=None, seed=0)
     y = eng.run(T, B)
-    gen = mu_law_decode_np(y[0])
+    gen = mu_law_decode_np(y[0], cfg.A)
     write_wav(args.output, gen, sr)
     src_hz, gen_hz = dominant_hz(audio[:T], sr), dominant_hz(gen, sr)
     print(f"dominant frequency: source {src_hz:.1f} Hz, "

@@ -26,7 +26,6 @@ $T 5400 python tools/equivalence_tpu.py
 
 log "6. batch-scaling probe (flagship b=128)"
 $T 1800 python tools/perf.py -l 20 -r 64 -s 256 -a 256 -b 128 -d 512 -m persistent -n 4096 -c 128 -t 3
-log "DONE"
 
 log "7. FUSED-chain A/B on the flagship (per-utterance rate)"
 $T 1800 python tools/perf.py -l 20 -r 64 -s 256 -a 256 -b 16 -d 512 -m persistent -n 8192 -c 256 -t 3
@@ -42,13 +41,11 @@ $T 1800 python tools/perf.py -l 20 -r 64 -s 256 -a 256 -b 16 -d 512 -m persisten
 $T 1800 python tools/perf.py -l 20 -r 64 -s 256 -a 256 -b 1 -d 512 -m persistent -n 8192 -c 256 -t 3 --fused --fused_pack --fast_math
 log "8. fused low-precision contract on hardware"
 $T 3600 python tools/lowprec_tpu.py
-log "ALL DONE"
 
 log "9. fused quality on the trained vocoder (60k checkpoint)"
 $T 2700 python tools/eval_checkpoint.py -c ckpt_demo3 --fused -o /tmp/eval_fused.wav || true
-log "SESSION COMPLETE"
 
 log "10. config-4 int8 weight streaming"
 $T 1800 python tools/perf.py -l 40 -r 128 -s 256 -a 256 -b 64 -d 128 -m manyblock -n 2048 -c 256 -t 3 --stream_quant int8
 $T 1800 python tools/perf.py -l 40 -r 128 -s 256 -a 256 -b 64 -d 128 -m manyblock -n 2048 -c 256 -t 3 --stream_quant int8 --stream_prefetch
-log "SESSION COMPLETE v2"
+log "SESSION COMPLETE"

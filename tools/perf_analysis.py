@@ -1,7 +1,9 @@
 """Per-step cost breakdown for the persistent kernel on real TPU: vary
 layers/batch/chunk/mode/dtype to locate fixed vs per-layer cost.  Also
 exercises prng mode on hardware."""
-import sys, time
+import os
+import sys
+import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax

@@ -5,7 +5,9 @@ pipelined dispatches, tail-slice fetch — see bench.py docstring).
 Variants are exactness-preserving N-splits of existing matmuls, verified
 bit-exact in the CPU test suite; this tool measures whether they pay off.
 """
-import sys, time
+import os
+import sys
+import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax

@@ -61,7 +61,7 @@ def measure_mesh_size(cfg, n, per_chip_batch, chunk, T, iters, interpret):
             "samples_per_sec_per_chip": round(khz_utt * B * 1e3 / n, 0)}
 
 
-def hlo_collective_census(cfg, n, per_chip_batch, chunk, T=64):
+def hlo_collective_census(cfg, n, per_chip_batch, chunk):
     """Compile the sharded generator for an n-device mesh and count
     collective ops in the optimized HLO.  The scaling claim's structural
     basis is that the sample loop is communication-free (weights replicated,
@@ -76,8 +76,9 @@ def hlo_collective_census(cfg, n, per_chip_batch, chunk, T=64):
     from nv_wavenet_tpu.parallel import mesh as mesh_lib
 
     B = per_chip_batch * n
-    mesh = mesh_lib.data_mesh(n)
-    gen = mesh_lib.make_sharded_persistent_generator(
+    T = chunk          # one grid step suffices (the generator requires
+    mesh = mesh_lib.data_mesh(n)  # T % chunk == 0; collectives would appear
+    gen = mesh_lib.make_sharded_persistent_generator(  # at any grid size)
         cfg, mesh, per_chip_batch, chunk, interpret=True, prefold_cond=True)
     shapes = {k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
               for k, v in params_lib.to_canonical(
