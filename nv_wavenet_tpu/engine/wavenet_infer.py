@@ -359,6 +359,29 @@ class WaveNetInfer:
         if int(state["stream_batch"]):
             self._stream_batch = int(state["stream_batch"])
 
+    def reset_utterances(self, rows):
+        """Reset the generation state of SELECTED batch rows to silence while
+        the rest of the batch keeps generating — continuous batching for
+        serving: a finished utterance's slot is handed to a new one without
+        stopping the other streams (no reference analog; the reference resets
+        the whole engine per `setInputs`, `nv_wavenet.cuh:417`).
+
+        `rows` are utterance indices into this PROCESS's batch shard (the
+        same per-rank ownership as set_inputs under multihost).  A reset row
+        behaves exactly like a fresh engine start: zeroed dilation FIFOs and
+        silence-initialized symbol history — verified equal to a fresh run in
+        tests/test_engine.py::test_reset_utterances_continuous_batching."""
+        assert self._ring is not None, "no generation state yet"
+        idx = jnp.asarray(list(rows), jnp.int32)
+        sil = jnp.int32(self.cfg.silence_bin)
+        self._ring = self._ring.at[:, idx, :].set(0)
+        self._y_state = self._y_state.at[:, idx].set(sil)
+        st = self._scan_state
+        self._scan_state = st._replace(
+            ring=st.ring.at[:, idx, :].set(0),
+            y_prev=st.y_prev.at[idx].set(sil),
+            y_cur=st.y_cur.at[idx].set(sil))
+
     # ------------------------------------------------------------------
     # implementation selection
     # ------------------------------------------------------------------

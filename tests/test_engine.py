@@ -109,6 +109,43 @@ def test_run_chunks_dump_matches_full_run_dump():
     assert np.allclose(eng.get_p().sum(-1), 1.0, atol=1e-5)
 
 
+def test_reset_utterances_continuous_batching():
+    """reset_utterances: a reset row must behave exactly like a fresh engine
+    start (zero FIFOs + silence history are phase-invariant in the rotating
+    ring), while the other rows' streams continue untouched — the
+    continuous-batching serving primitive."""
+    cfg = WaveNetConfig(num_layers=8, R=32, S=128, A=256, max_dilation=8)
+    B, T1, T2 = 3, 13, 11
+    ref_w, cond, sel = make_case(cfg, B, T1 + T2, seed=41)
+
+    def fresh():
+        eng = make_engine(cfg, B, Impl.PERSISTENT, chunk=8)
+        eng.set_reference_weights(ref_w)
+        return eng
+
+    # interrupted engine: stream T1, reset row 2, stream T2
+    eng = fresh()
+    eng.begin_stream(B)
+    y1 = eng.feed(cond[:T1], sel[:T1])
+    eng.reset_utterances([2])
+    st = eng.export_state()
+    assert np.all(st["ring"][:, 2] == 0) and np.all(st["y_state"][:, 2] == 128)
+    assert np.any(st["ring"][:, :2] != 0)   # other rows keep their history
+    y2 = eng.feed(cond[T1:], sel[T1:])
+
+    # rows 0/1 match an uninterrupted stream over the full conditioning
+    un = fresh()
+    un.begin_stream(B)
+    y_un = np.concatenate([un.feed(cond[:T1], sel[:T1]),
+                           un.feed(cond[T1:], sel[T1:])], axis=1)
+    assert np.array_equal(np.concatenate([y1, y2], 1)[:2], y_un[:2])
+    # row 2's post-reset samples equal a FRESH engine fed only the tail
+    fr = fresh()
+    fr.begin_stream(B)
+    y_fr = fr.feed(cond[T1:], sel[T1:])
+    assert np.array_equal(y2[2], y_fr[2])
+
+
 def test_engine_reuse_and_second_iteration():
     """Re-running with the same uploaded weights/state must reproduce —
     the reference runs every config twice re-using uploads
