@@ -75,6 +75,7 @@ class WaveNetInfer:
                  stream_quant: Optional[str] = None,
                  fuse_chain: bool = False,
                  fuse_pack: bool = False,
+                 temperature: float = 1.0,
                  mesh=None):
         self.cfg = WaveNetConfig(num_layers=num_layers, R=R, S=S, A=A,
                                  max_dilation=max_dilation,
@@ -114,6 +115,15 @@ class WaveNetInfer:
         # halves the dependent chain matmuls' K extent and the G stack's
         # VMEM; see ops/fused_chain._row_stride)
         self.fuse_pack = fuse_pack
+        # sampling temperature (serving knob, no reference analog):
+        # softmax(za / T) implemented as a WEIGHT transform — end_w and
+        # end_b scale by 1/T at device upload — so every implementation
+        # (kernel, fused, scan, golden) applies it identically with zero
+        # kernel changes and no per-step cost.  T=1 is a true no-op (the
+        # exact-match contract is untouched).  Note get_za() then returns
+        # the tempered logits (they ARE what was sampled from).
+        assert temperature > 0, temperature
+        self.temperature = float(temperature)
         self.sampling_seed = 0  # used by mode="prng" (in-kernel TPU PRNG)
         # multi-chip batch sharding: a jax Mesh with a 'data' axis.  Weights
         # replicate, the utterance batch shards, and the sample loop stays
@@ -464,18 +474,31 @@ class WaveNetInfer:
             return Impl.PERSISTENT if est <= self.vmem_budget else Impl.MANYBLOCK
         return impl
 
+    def set_temperature(self, temperature: float):
+        """Change the sampling temperature (takes effect on the next
+        dispatch; re-uploads the two output-layer tensors)."""
+        assert temperature > 0, temperature
+        self.temperature = float(temperature)
+        self._invalidate()
+
     def _device_params(self, dtype=None):
         if self._params is None:
+            src = self._np_params
+            if self.temperature != 1.0:
+                inv_t = np.float32(1.0 / self.temperature)
+                src = dict(src)
+                src["end_w"] = src["end_w"] * inv_t
+                src["end_b"] = src["end_b"] * inv_t
             if self.mesh is not None and self._n_proc() > 1:
                 # multihost: weights replicate (every process uploads the
                 # same values) — the sharding analog of the reference's
                 # rank-0 parameter broadcast (`distributed.py:100-103`)
                 self._params = {
                     k: self._shard(v, P(*(None,) * np.ndim(v)))
-                    for k, v in self._np_params.items()}
+                    for k, v in src.items()}
             else:
                 self._params = {k: jnp.asarray(v)
-                                for k, v in self._np_params.items()}
+                                for k, v in src.items()}
         if dtype is not None and dtype != jnp.float32:
             # weight-dtype cast for the HBM-streaming path: MANYBLOCK is
             # bound by per-step weight re-reads, so bf16 storage halves its

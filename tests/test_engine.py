@@ -146,6 +146,37 @@ def test_reset_utterances_continuous_batching():
     assert np.array_equal(y2[2], y_fr[2])
 
 
+def test_sampling_temperature():
+    """Temperature (serving knob, weight-transform implementation):
+    T=1 is bit-identical to the default engine; T->0 sharpens sampling to
+    the argmax decode; large T flattens the sampled distribution (higher
+    dump-mode entropy).  softmax(za/T) == softmax(zs @ (end_w/T) + end_b/T),
+    so no kernel carries a temperature path."""
+    from tests.test_low_precision import hot_case
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=8)
+    B, T = 2, 12
+    params, cond, selectors, _ = hot_case(cfg, B, T, seed=47)
+
+    def run(temp, mode="sample", dump=False):
+        eng = make_engine(cfg, B, Impl.PERSISTENT, chunk=4)
+        eng.temperature = temp
+        eng.set_canonical_params({k: np.asarray(v) for k, v in params.items()})
+        eng.set_inputs(np.asarray(cond), np.asarray(selectors))
+        y = eng.run(T, B, mode=mode, dump_activations=dump)
+        return (y, eng.get_p()) if dump else y
+
+    assert np.array_equal(run(1.0), run(1.00000001 - 1e-8))  # exact no-op
+    assert np.array_equal(run(0.01), run(1.0, mode="argmax"))
+    _, p_hot = run(1.0, dump=True)
+    _, p_cool = run(4.0, dump=True)
+
+    def entropy(p):
+        p = np.maximum(p, 1e-12)
+        return float(-(p * np.log(p)).sum(-1).mean())
+
+    assert entropy(p_cool) > entropy(p_hot) + 0.1
+
+
 def test_engine_reuse_and_second_iteration():
     """Re-running with the same uploaded weights/state must reproduce —
     the reference runs every config twice re-using uploads
