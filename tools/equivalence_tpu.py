@@ -78,6 +78,46 @@ def run_case(name, cfg, impl, batch=16, samples=8, seed=101):
     return ok
 
 
+def run_int8_case(name, cfg, batch=16, samples=8, seed=103):
+    """Full-size int8 weight-streaming exactness (`stream_quant="int8"`):
+    the MANYBLOCK kernel's in-kernel dequantize is exactly rounded, so its
+    integer outputs must BIT-MATCH the scan generator fed the
+    quantize->dequantize round-tripped weights — the exactness contract
+    carried to the int8 tier at full model size, compiled on hardware."""
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+    from nv_wavenet_tpu.models import params as params_lib
+    from nv_wavenet_tpu.ops import persistent, scan_generate
+
+    rng = np.random.RandomState(seed)
+    ref_w = params_lib.random_reference_weights(cfg, seed=seed)
+    cond = rng.uniform(-0.5, 0.5, (samples, cfg.num_layers, batch, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (samples, batch)).astype(np.float32)
+
+    eng = WaveNetInfer(num_layers=cfg.num_layers,
+                       max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                       A=cfg.A, max_batch=batch,
+                       implementation=Impl.MANYBLOCK, chunk_size=8,
+                       stream_quant="int8")
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, sel)
+    y = eng.run_chunks(7, lambda *_: None, samples, batch)
+
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    params_dq = persistent.dequantize_stream_params(params)
+    st = scan_generate.init_state(cfg, batch)
+    _, y_scan, _ = scan_generate.generate(params_dq, st, jnp.asarray(cond),
+                                          jnp.asarray(sel), cfg)
+    ok = bool(np.array_equal(y, np.asarray(y_scan)))
+    msg = "" if ok else f"agreement {np.mean(y == np.asarray(y_scan)):.3f}"
+    print(f"{'PASS' if ok else 'FAIL'}  {name:36s} impl=INT8STREAM {msg}",
+          flush=True)
+    return ok
+
+
 def main():
     from nv_wavenet_tpu.config import WaveNetConfig
     from nv_wavenet_tpu.engine.wavenet_infer import Impl
@@ -111,6 +151,15 @@ def main():
                                          max_dilation=D), Impl.PERSISTENT),
     ]
     results = [run_case(n, c, i) for n, c, i in matrix]
+    # int8 weight-streaming exactness rows (deterministic quantized tier)
+    results += [
+        run_int8_case("64R_256S_256A_int8",
+                      WaveNetConfig(num_layers=L, R=64, S=256, A=256,
+                                    max_dilation=D)),
+        run_int8_case("128R_256S_256A_int8",
+                      WaveNetConfig(num_layers=L, R=128, S=256, A=256,
+                                    max_dilation=D)),
+    ]
     print(f"{sum(results)}/{len(results)} configs passed", flush=True)
     sys.exit(0 if all(results) else 1)
 

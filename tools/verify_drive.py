@@ -1,160 +1,14 @@
 #!/usr/bin/env python
-"""Hardware verification drive: the canonical golden cross-check on the real
-TPU through the public engine API (see .claude/skills/verify/SKILL.md).
-
-Covers: ragged run_chunks exact-match, MANYBLOCK (HBM-streaming kernel) vs
-PERSISTENT identity, bf16-weights cross-impl identity, dump-mode p
-normalization, and streaming feed parity — all compiled on hardware.
-"""
+"""Shim: the hardware verification drive lives at
+nv_wavenet_tpu.tools.verify_drive (console script nvw-verify); this path
+serves the documented `python tools/verify_drive.py` invocation without
+requiring an installed package."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
-
-def main():
-    from nv_wavenet_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    import jax
-    import jax.numpy as jnp
-
-    from nv_wavenet_tpu.config import WaveNetConfig
-    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
-    from nv_wavenet_tpu.models import params as params_lib
-    from nv_wavenet_tpu.models.golden import WaveNetGolden
-
-    print("devices:", jax.devices(), flush=True)
-    cfg = WaveNetConfig(num_layers=20, R=64, S=128, A=256, max_dilation=8)
-    B, T = 4, 32
-    ref_w = params_lib.random_reference_weights(cfg, seed=77)
-    rng = np.random.RandomState(7)
-    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
-                       ).astype(np.float32)
-    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
-
-    gold = WaveNetGolden(cfg, B, T)
-    gold.set_reference_weights(ref_w)
-    gold.set_inputs(cond, sel)
-    y_gold = gold.run(T, B)
-
-    def make(impl, **kw):
-        eng = WaveNetInfer(num_layers=20, max_dilation=8, R=64, S=128, A=256,
-                           max_batch=B, chunk_size=8, implementation=impl,
-                           **kw)
-        eng.set_reference_weights(ref_w)
-        eng.set_inputs(cond, sel)
-        return eng
-
-    t0 = time.time()
-    eng = make(Impl.AUTO)
-    y = eng.run_chunks(13, lambda yc, off, n: None, T, B)   # ragged chunks
-    assert np.array_equal(y, y_gold), "PERSISTENT ragged-chunk mismatch"
-    print(f"PERSISTENT ragged run_chunks exact-match OK "
-          f"({time.time() - t0:.0f}s incl. compile)", flush=True)
-
-    t0 = time.time()
-    engm = make(Impl.MANYBLOCK)
-    ym = engm.run_chunks(13, lambda yc, off, n: None, T, B)
-    assert np.array_equal(ym, y_gold), "MANYBLOCK (streaming) mismatch"
-    print(f"MANYBLOCK streaming-kernel exact-match OK "
-          f"({time.time() - t0:.0f}s incl. compile)", flush=True)
-
-    # bf16 weights: MANYBLOCK == PERSISTENT bit-identical on hardware
-    t0 = time.time()
-    e1 = make(Impl.PERSISTENT, weight_dtype=jnp.bfloat16)
-    e2 = make(Impl.MANYBLOCK, weight_dtype=jnp.bfloat16)
-    y1, y2 = e1.run(T, B), e2.run(T, B)
-    assert np.array_equal(y1, y2), "bf16 cross-impl mismatch"
-    print(f"bf16-weights cross-impl identity OK ({time.time() - t0:.0f}s)",
-          flush=True)
-
-    # dump mode
-    eng.set_inputs(cond, sel)
-    yd = eng.run(T, B, dump_activations=True)
-    assert np.array_equal(yd, y_gold)
-    psum = eng.get_p().sum(-1)
-    assert np.allclose(psum, 1.0, atol=1e-5), psum
-    print("dump mode OK (p sums to 1)", flush=True)
-
-    # int8 weight streaming (MANYBLOCK stream_quant): the quantize ->
-    # in-kernel-dequantize round trip is deterministic, so the kernel must
-    # BIT-MATCH the scan generator fed the dequantized weights — the
-    # exactness contract carried to the int8 tier, compiled on hardware.
-    t0 = time.time()
-    from nv_wavenet_tpu.ops import persistent, scan_generate
-    interp = jax.default_backend() == "cpu"   # CPU smoke runs of this drive
-    eq = make(Impl.MANYBLOCK, stream_quant="int8")
-    yq = eq.run(T, B)
-    params = {k: jnp.asarray(v)
-              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
-    params_dq = persistent.dequantize_stream_params(params)
-    st = scan_generate.init_state(cfg, B)
-    _, y_scan, _ = scan_generate.generate(params_dq, st, jnp.asarray(cond),
-                                          jnp.asarray(sel), cfg)
-    assert np.array_equal(yq, np.asarray(y_scan)), (
-        f"int8-stream mismatch (agreement "
-        f"{np.mean(yq == np.asarray(y_scan)):.3f})")
-    print(f"int8 weight-streaming exact-match OK "
-          f"({time.time() - t0:.0f}s incl. compile)", flush=True)
-
-    # fused (collapsed-chain) fast decode: governed by the teacher-forced
-    # TV-distance contract (tests/test_fused_chain.py), not exact match —
-    # the residual-stream fold reassociates fp32 sums.  Measure the forced-
-    # mode TV against the exact kernel ON HARDWARE and report it.
-    # Non-fatal: the fused mode is opt-in, and a failure here must not
-    # abort the exact-path verification this drive exists for.
-    t0 = time.time()
-    try:
-        from nv_wavenet_tpu.ops import fused_chain
-        forced = y_gold.T.astype(np.float32)                 # [T, B]
-        chunkf = 8
-        ring0 = persistent.init_ring(cfg, B)
-        ys0 = jnp.full((2, B), cfg.silence_bin, jnp.int32)
-
-        def forced_probs(make_gen):
-            gen = make_gen(cfg, B, chunkf, mode="forced", interpret=interp)
-            out = gen(params, np.array([0]), jnp.asarray(cond),
-                      jnp.asarray(forced), ring0, ys0, n_valid=T)
-            assert np.array_equal(np.asarray(out[0]), forced.astype(np.int32))
-            p = np.asarray(out[-1], np.float64)
-            return p / p.sum(-1, keepdims=True)
-
-        p_exact = forced_probs(persistent.make_persistent_generator)
-        p_fused = forced_probs(fused_chain.make_fused_generator)
-        t = 0.5 * np.abs(p_fused - p_exact).sum(-1)
-        ef = make(Impl.PERSISTENT, fuse_chain=True)
-        agree = float(np.mean(ef.run(T, B) == y_gold))
-        print(f"fused TV mean/p99/max = {t.mean():.2e}/"
-              f"{np.percentile(t, 99):.2e}/{t.max():.2e}, trajectory "
-              f"agreement {agree:.3f} ({time.time() - t0:.0f}s)", flush=True)
-        assert t.mean() < 0.01 and t.max() < 0.2, (
-            f"fused TV out of contract: mean {t.mean():.3g} max {t.max():.3g}")
-        print("fused-chain TV contract OK", flush=True)
-    except Exception as e:
-        print(f"WARNING: fused-chain check FAILED (non-fatal): "
-              f"{type(e).__name__}: {e}", flush=True)
-
-    # streaming feed parity (ragged chunks over the same conditioning)
-    eng.begin_stream(B)
-    outs, off = [], 0
-    for n in (13, 6, 13):
-        outs.append(eng.feed(cond[off:off + n], sel[off:off + n]))
-        off += n
-    yf = np.concatenate(outs, axis=1)
-    assert np.array_equal(yf, y_gold), "feed parity mismatch"
-    print("streaming feed exact-match OK", flush=True)
-
-    # error surfaces
-    try:
-        WaveNetInfer(num_layers=20, max_dilation=8, max_batch=B).run(8, B)
-        raise SystemExit("expected assertion for run-before-set_inputs")
-    except AssertionError as e:
-        assert "set_inputs" in str(e)
-    print("ALL HARDWARE CHECKS PASSED", flush=True)
-
+from nv_wavenet_tpu.tools.verify_drive import main
 
 if __name__ == "__main__":
     main()
