@@ -68,19 +68,26 @@ class StepCost:
     def fused_latency_floor_khz(self, cfg: WaveNetConfig,
                                 stage_ns: float = 200.0,
                                 ktile_ns: float = 8.5,
-                                passes: int = 1) -> float:
+                                passes: int = 1,
+                                pack_gates: bool = False) -> float:
         """Latency floor for the collapsed-chain kernel
         (`ops/fused_chain.py`): the chain is embed -> w0 -> L gated matmuls
         -> skip -> Zs -> Za = L+5 stages, but layer l's chain matmul
-        contracts over K = l*max(R,128) columns, adding `passes` MXU passes
+        contracts over K = l*stride columns, adding `passes` MXU passes
         per 128-wide K-tile beyond the first (~8.5 ns each at 940 MHz;
         passes=1 for bf16/fast_math single-pass, ~3 for fp32 HIGHEST).
         Shows why the fused mode pairs with single-pass matmuls: under
-        HIGHEST the K-pass term eats most of the chain savings."""
-        P = max(cfg.R, 128)
+        HIGHEST the K-pass term eats most of the chain savings.
+
+        pack_gates=True models the tight R-lane gate layout (stride R
+        instead of max(R,128)): for R=64 it halves the K-tile term — at the
+        default stage_ns the flagship fp32-HIGHEST floor moves ~107 -> ~141
+        kHz (past the standard kernel's ~116) and the single-pass floor
+        ~155 -> ~176 kHz."""
+        P = cfg.R if pack_gates else max(cfg.R, 128)
         # only K-tiles BEYOND the first add pipeline passes (the first tile's
         # cost is the stage_ns term already charged per chain stage)
-        ktiles = sum(max(0, l * P // 128 - 1)
+        ktiles = sum(max(0, -(-l * P // 128) - 1)
                      for l in range(cfg.num_layers))
         chain_ns = ((cfg.num_layers + 5) * stage_ns
                     + ktiles * ktile_ns * passes)
