@@ -32,6 +32,9 @@ def main(argv=None):
                     choices=["auto", "persistent", "manyblock", "fused"])
     ap.add_argument("-s", "--sampling", default="sample",
                     choices=["sample", "argmax"])
+    ap.add_argument("-t", "--temperature", type=float, default=1.0,
+                    help="sampling temperature (softmax(za/T), applied as a "
+                         "weight transform; 1.0 = exact)")
     ap.add_argument("--config", default="configs/config.json")
     ap.add_argument("--demo", action="store_true",
                     help="untrained model + synthetic mels (integration test)")
@@ -106,7 +109,8 @@ def main(argv=None):
                                S=cfg.S, A=cfg.A, max_batch=B,
                                implementation=impl,
                                tanh_embed=cfg.tanh_embed, chunk_size=256,
-                               fuse_chain=args.mode == "fused")
+                               fuse_chain=args.mode == "fused",
+                               temperature=args.temperature)
             eng.set_canonical_params(canon)
             engines[B] = eng
         eng = engines[B]
