@@ -79,6 +79,11 @@ def main():
             ("fused_fast_math", fused_probs, dict(fast_math=True)),
             ("fused_bf16_compute", fused_probs,
              dict(compute_dtype=jnp.bfloat16)),
+            # tight R-lane gate packing (fuse_pack): same fold, smaller
+            # chain K extent — TV must stay at reassociation level
+            ("fused_pack_fp32", fused_probs, dict(pack_gates=True)),
+            ("fused_pack_fast_math", fused_probs,
+             dict(pack_gates=True, fast_math=True)),
             # int8 streamed stacks (MANYBLOCK tier): deterministic, so the
             # TV here is pure quantization error
             ("int8_stream", probs,
