@@ -24,7 +24,7 @@ import numpy as np
 
 def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
                check_golden_samples=0, compute_dtype=None, fast_math=False,
-               fuse_chain=False):
+               fuse_chain=False, fuse_pack=False):
     import jax
     import jax.numpy as jnp
 
@@ -35,6 +35,7 @@ def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
     eng = WaveNetInfer(num_layers=cfg.num_layers, max_dilation=cfg.max_dilation,
                        R=cfg.R, S=cfg.S, A=cfg.A, max_batch=batch,
                        implementation=impl, chunk_size=chunk,
+                       fuse_pack=fuse_pack,
                        weight_dtype=weight_dtype,
                        compute_dtype=compute_dtype or jnp.float32,
                        fast_math=fast_math, fuse_chain=fuse_chain)
@@ -149,6 +150,13 @@ def main():
     recs.append(run_config("5g_flagship_fused_bf16w", flagship, 16, T, 256,
                            Impl.PERSISTENT, "sample", jnp.bfloat16,
                            fuse_chain=True))
+    # tight R-lane gate packing (halved chain K extent at R=64)
+    recs.append(run_config("5h_flagship_fused_pack_fp32", flagship, 16, T,
+                           256, Impl.PERSISTENT, "sample", jnp.float32,
+                           fuse_chain=True, fuse_pack=True))
+    recs.append(run_config("5i_flagship_fused_pack_fast_math", flagship, 16,
+                           T, 256, Impl.PERSISTENT, "sample", jnp.float32,
+                           fast_math=True, fuse_chain=True, fuse_pack=True))
     print(json.dumps({"all": recs}, indent=1))
 
 
