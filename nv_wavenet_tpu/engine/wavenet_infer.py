@@ -376,10 +376,13 @@ class WaveNetInfer:
         stopping the other streams (no reference analog; the reference resets
         the whole engine per `setInputs`, `nv_wavenet.cuh:417`).
 
-        `rows` are utterance indices into this PROCESS's batch shard (the
-        same per-rank ownership as set_inputs under multihost).  A reset row
-        behaves exactly like a fresh engine start: zeroed dilation FIFOs and
-        silence-initialized symbol history — verified equal to a fresh run in
+        `rows` are GLOBAL batch indices (the state arrays are global; under
+        a mesh the scatter preserves their sharding).  Under MULTIHOST every
+        process must make the same call with the same rows — the update is
+        part of the SPMD program, unlike the per-rank data staging of
+        set_inputs.  A reset row behaves exactly like a fresh engine start:
+        zeroed dilation FIFOs and silence-initialized symbol history —
+        verified equal to a fresh run in
         tests/test_engine.py::test_reset_utterances_continuous_batching."""
         assert self._ring is not None, "no generation state yet"
         idx = jnp.asarray(list(rows), jnp.int32)

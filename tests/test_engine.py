@@ -146,6 +146,32 @@ def test_reset_utterances_continuous_batching():
     assert np.array_equal(y2[2], y_fr[2])
 
 
+def test_reset_utterances_under_mesh():
+    """reset_utterances on a batch-sharded mesh engine: the scatter applies
+    to the global state arrays and the result matches the single-device
+    engine doing the same reset."""
+    from nv_wavenet_tpu.parallel import mesh as mesh_lib
+
+    cfg = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+    B, T1, T2 = 4, 9, 7
+    ref_w, cond, sel = make_case(cfg, B, T1 + T2, seed=43)
+
+    def run(mesh):
+        eng = WaveNetInfer(num_layers=cfg.num_layers,
+                           max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                           A=cfg.A, max_batch=B,
+                           implementation=Impl.PERSISTENT, chunk_size=8,
+                           mesh=mesh)
+        eng.set_reference_weights(ref_w)
+        eng.begin_stream(B)
+        y1 = eng.feed(cond[:T1], sel[:T1])
+        eng.reset_utterances([1, 3])
+        y2 = eng.feed(cond[T1:], sel[T1:])
+        return np.concatenate([y1, y2], axis=1)
+
+    assert np.array_equal(run(None), run(mesh_lib.data_mesh(4)))
+
+
 def test_sampling_temperature():
     """Temperature (serving knob, weight-transform implementation):
     T=1 is bit-identical to the default engine; T->0 sharpens sampling to
