@@ -381,11 +381,21 @@ class WaveNetInfer:
         process must make the same call with the same rows — the update is
         part of the SPMD program, unlike the per-rank data staging of
         set_inputs.  A reset row behaves exactly like a fresh engine start:
-        zeroed dilation FIFOs and silence-initialized symbol history —
-        verified equal to a fresh run in
-        tests/test_engine.py::test_reset_utterances_continuous_batching."""
+        zeroed dilation FIFOs and silence-initialized symbol history — so
+        with INJECTED selectors its samples bit-match a fresh run (verified:
+        tests/test_engine.py::test_reset_utterances_continuous_batching).
+        Default feed selectors and mode="prng" are keyed on the ABSOLUTE
+        sample index, so a reset row draws a different (still reproducible)
+        selector stream than a t=0 start — inject selectors to replay a
+        served utterance exactly."""
         assert self._ring is not None, "no generation state yet"
-        idx = jnp.asarray(list(rows), jnp.int32)
+        rows = list(rows)
+        n = self._y_state.shape[1]   # global batch (state arrays are global)
+        assert rows and all(0 <= r < n for r in rows), (
+            f"rows {rows} out of range for batch {n}: XLA scatter silently "
+            f"drops out-of-bounds indices, so an invalid slot would keep "
+            f"the finished utterance's state")
+        idx = jnp.asarray(rows, jnp.int32)
         sil = jnp.int32(self.cfg.silence_bin)
         self._ring = self._ring.at[:, idx, :].set(0)
         self._y_state = self._y_state.at[:, idx].set(sil)
@@ -479,10 +489,27 @@ class WaveNetInfer:
 
     def set_temperature(self, temperature: float):
         """Change the sampling temperature (takes effect on the next
-        dispatch; re-uploads the two output-layer tensors)."""
+        dispatch).  Only the two output-layer tensors change, so only they
+        re-upload (~(A*A+A)*4 bytes) — a full _invalidate would re-ship all
+        weights and re-run the fused fold / cond prefold, which matters on
+        a tunneled TPU where a serving loop may retune T per request."""
         assert temperature > 0, temperature
+        if float(temperature) == self.temperature:
+            return
         self.temperature = float(temperature)
-        self._invalidate()
+        if self._params is None:
+            return                      # next _device_params applies it
+        inv_t = np.float32(1.0 / self.temperature)
+        end_w = self._np_params["end_w"] * inv_t
+        end_b = self._np_params["end_b"] * inv_t
+        if self.mesh is not None and self._n_proc() > 1:
+            self._params["end_w"] = self._shard(end_w, P(None, None))
+            self._params["end_b"] = self._shard(end_b, P(None))
+        else:
+            self._params["end_w"] = jnp.asarray(end_w)
+            self._params["end_b"] = jnp.asarray(end_b)
+        self._params_cast = None        # derived copies pick up new values
+        self._fused_prep = None
 
     def _device_params(self, dtype=None):
         if self._params is None:

@@ -87,19 +87,14 @@ def main(argv=None):
     # BIT-MATCH the scan generator fed the dequantized weights — the
     # exactness contract carried to the int8 tier, compiled on hardware.
     t0 = time.time()
-    from nv_wavenet_tpu.ops import persistent, scan_generate
+    from nv_wavenet_tpu.ops import persistent
+    from nv_wavenet_tpu.utils.oracles import int8_dequant_scan_oracle
     interp = jax.default_backend() == "cpu"   # CPU smoke runs of this drive
     eq = make(Impl.MANYBLOCK, stream_quant="int8")
     yq = eq.run(T, B)
-    params = {k: jnp.asarray(v)
-              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
-    params_dq = persistent.dequantize_stream_params(params)
-    st = scan_generate.init_state(cfg, B)
-    _, y_scan, _ = scan_generate.generate(params_dq, st, jnp.asarray(cond),
-                                          jnp.asarray(sel), cfg)
-    assert np.array_equal(yq, np.asarray(y_scan)), (
-        f"int8-stream mismatch (agreement "
-        f"{np.mean(yq == np.asarray(y_scan)):.3f})")
+    y_scan = int8_dequant_scan_oracle(cfg, ref_w, cond, sel)
+    assert np.array_equal(yq, y_scan), (
+        f"int8-stream mismatch (agreement {np.mean(yq == y_scan):.3f})")
     print(f"int8 weight-streaming exact-match OK "
           f"({time.time() - t0:.0f}s incl. compile)", flush=True)
 
@@ -112,6 +107,8 @@ def main(argv=None):
     t0 = time.time()
     try:
         from nv_wavenet_tpu.ops import fused_chain
+        params = {k: jnp.asarray(v)
+                  for k, v in params_lib.to_canonical(ref_w, cfg).items()}
         forced = y_gold.T.astype(np.float32)                 # [T, B]
         chunkf = 8
         ring0 = persistent.init_ring(cfg, B)

@@ -83,12 +83,12 @@ def run_int8_case(name, cfg, batch=16, samples=8, seed=103):
     the MANYBLOCK kernel's in-kernel dequantize is exactly rounded, so its
     integer outputs must BIT-MATCH the scan generator fed the
     quantize->dequantize round-tripped weights — the exactness contract
-    carried to the int8 tier at full model size, compiled on hardware."""
-    import jax.numpy as jnp
-
+    carried to the int8 tier at full model size, compiled on hardware.
+    The value oracle is shared with the hardware self-test
+    (utils/oracles.py) so the two checks cannot drift."""
     from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
     from nv_wavenet_tpu.models import params as params_lib
-    from nv_wavenet_tpu.ops import persistent, scan_generate
+    from nv_wavenet_tpu.utils.oracles import int8_dequant_scan_oracle
 
     rng = np.random.RandomState(seed)
     ref_w = params_lib.random_reference_weights(cfg, seed=seed)
@@ -105,14 +105,9 @@ def run_int8_case(name, cfg, batch=16, samples=8, seed=103):
     eng.set_inputs(cond, sel)
     y = eng.run_chunks(7, lambda *_: None, samples, batch)
 
-    params = {k: jnp.asarray(v)
-              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
-    params_dq = persistent.dequantize_stream_params(params)
-    st = scan_generate.init_state(cfg, batch)
-    _, y_scan, _ = scan_generate.generate(params_dq, st, jnp.asarray(cond),
-                                          jnp.asarray(sel), cfg)
-    ok = bool(np.array_equal(y, np.asarray(y_scan)))
-    msg = "" if ok else f"agreement {np.mean(y == np.asarray(y_scan)):.3f}"
+    y_scan = int8_dequant_scan_oracle(cfg, ref_w, cond, sel)
+    ok = bool(np.array_equal(y, y_scan))
+    msg = "" if ok else f"agreement {np.mean(y == y_scan):.3f}"
     print(f"{'PASS' if ok else 'FAIL'}  {name:36s} impl=INT8STREAM {msg}",
           flush=True)
     return ok
