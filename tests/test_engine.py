@@ -202,6 +202,22 @@ def test_sampling_temperature():
 
     assert entropy(p_cool) > entropy(p_hot) + 0.1
 
+    # set_temperature AFTER weights are device-resident (the cheap patch
+    # path: only end_w/end_b re-upload) must equal constructing with that
+    # temperature, and changing back to 1.0 must restore exactness
+    eng = make_engine(cfg, 2, Impl.PERSISTENT, chunk=4)
+    eng.set_canonical_params({k: np.asarray(v) for k, v in params.items()})
+    eng.set_inputs(np.asarray(cond), np.asarray(selectors))
+    y_t1 = eng.run(12, 2)
+    assert np.array_equal(y_t1, run(1.0))
+    eng._device_params()                      # force the cached dict
+    eng.set_temperature(4.0)
+    eng.set_inputs(np.asarray(cond), np.asarray(selectors))
+    assert np.array_equal(eng.run(12, 2), run(4.0))
+    eng.set_temperature(1.0)
+    eng.set_inputs(np.asarray(cond), np.asarray(selectors))
+    assert np.array_equal(eng.run(12, 2), y_t1)
+
 
 def test_engine_reuse_and_second_iteration():
     """Re-running with the same uploaded weights/state must reproduce —
