@@ -76,7 +76,22 @@ class WaveNetInfer:
                  fuse_chain: bool = False,
                  fuse_pack: bool = False,
                  temperature: float = 1.0,
+                 priority: Optional[str] = None,
                  mesh=None):
+        # decode-priority tier (serving knob): priority="latency" selects
+        # the hardware-proven fastest decode — the collapsed-chain kernel
+        # with single-pass MXU matmuls (fused + fast_math: 154.8 vs 92.5
+        # kHz/utt exact on the flagship, BASELINE.md fast-tier table) —
+        # without the caller micromanaging kernel knobs.  Governed by the
+        # same TV contract bound as fast_math alone; dump dispatches and
+        # VMEM overflows still fall back to the exact kernel automatically
+        # (_fuse_active).  priority="exact" / None leaves every knob as
+        # passed (the exact-match contract path).
+        assert priority in (None, "exact", "latency"), priority
+        self.priority = priority
+        if priority == "latency":
+            fuse_chain = True
+            fast_math = True
         self.cfg = WaveNetConfig(num_layers=num_layers, R=R, S=S, A=A,
                                  max_dilation=max_dilation,
                                  tanh_embed=tanh_embed)

@@ -29,7 +29,8 @@ def main(argv=None):
     ap.add_argument("-o", "--output_dir", required=True)
     ap.add_argument("-b", "--batch_size", type=int, default=1)
     ap.add_argument("-m", "--mode", default="auto",
-                    choices=["auto", "persistent", "manyblock", "fused"])
+                    choices=["auto", "persistent", "manyblock", "fused",
+                             "fast"])
     ap.add_argument("-s", "--sampling", default="sample",
                     choices=["sample", "argmax"])
     ap.add_argument("-t", "--temperature", type=float, default=1.0,
@@ -85,8 +86,8 @@ def main(argv=None):
     canon = wavenet_lib.export_canonical(params, model)
     cfg = wavenet_lib.config_of(model)
     impl = {"auto": Impl.AUTO, "persistent": Impl.PERSISTENT,
-            "manyblock": Impl.MANYBLOCK,
-            "fused": Impl.PERSISTENT}[args.mode]
+            "manyblock": Impl.MANYBLOCK, "fused": Impl.PERSISTENT,
+            "fast": Impl.PERSISTENT}[args.mode]
 
     os.makedirs(args.output_dir, exist_ok=True)
     sr = data_cfg.sampling_rate
@@ -110,6 +111,8 @@ def main(argv=None):
                                implementation=impl,
                                tanh_embed=cfg.tanh_embed, chunk_size=256,
                                fuse_chain=args.mode == "fused",
+                               priority=("latency" if args.mode == "fast"
+                                         else None),
                                temperature=args.temperature)
             eng.set_canonical_params(canon)
             engines[B] = eng

@@ -237,6 +237,39 @@ def test_fused_streaming_feed(fused_case):
     assert np.array_equal(y_feed, y_full)
 
 
+def test_priority_latency_selects_fused_fast_math(fused_case):
+    """priority="latency" is sugar for the measured-fastest decode tier
+    (fuse_chain + fast_math, BASELINE.md fast-tier table): it must produce
+    the IDENTICAL integer sequence to an engine with those knobs set
+    explicitly (same kernels, deterministic), and priority=None/"exact"
+    must leave the exact path untouched."""
+    import pytest
+
+    params, cond, sel, forced, _ = fused_case
+    B, T = 8, cond.shape[0]
+
+    def mk(**kw):
+        eng = WaveNetInfer(num_layers=CFG.num_layers,
+                           max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                           A=CFG.A, max_batch=B,
+                           implementation=Impl.PERSISTENT, chunk_size=8,
+                           **kw)
+        eng.set_canonical_params({k: np.asarray(v)
+                                  for k, v in params.items()})
+        eng.set_inputs(np.asarray(cond), np.asarray(sel))
+        return eng
+
+    eng_p = mk(priority="latency")
+    assert eng_p.fuse_chain and eng_p.fast_math
+    assert np.array_equal(eng_p.run(T, B),
+                          mk(fuse_chain=True, fast_math=True).run(T, B))
+    # "exact"/None change nothing: bit-identical to the default engine
+    assert not mk(priority="exact").fuse_chain
+    assert np.array_equal(mk(priority="exact").run(T, B), mk().run(T, B))
+    with pytest.raises(AssertionError):
+        mk(priority="throughput")
+
+
 @pytest.mark.parametrize("pack", [False, True])
 @pytest.mark.parametrize("R,S,L,maxd", [(64, 128, 5, 4), (128, 128, 3, 2)])
 def test_fused_geometries(R, S, L, maxd, pack):
