@@ -113,8 +113,8 @@ void wn_run(void* p, int T, int B, const float* cond, const float* sel,
             int mode, int* y_out) {
   auto* c = static_cast<WaveNetCtx*>(p);
   const int L = c->L, R = c->R, S = c->S, A = c->A;
-  std::vector<float> x(R), xcat(2 * R), z(2 * R), h(R), rs(R + S), skip(S),
-      zs(A), za(A), prob(A);
+  std::vector<float> x(R), xprev(R), zp(2 * R), zc(2 * R), z(2 * R), h(R),
+      rs(R + S), skip(S), zs(A), za(A), prob(A);
 
   for (int s = 0; s < T; s++) {
     for (int b = 0; b < B; b++) {
@@ -131,15 +131,21 @@ void wn_run(void* p, int T, int B, const float* cond, const float* sel,
         int slot = c->ring_off[l] + (int)(c->t & (c->dil[l] - 1));
         float* ring_row = c->ring.data() + ((size_t)slot * B + b) * R;
         // read x_{t-d}, then write x_t into the same FIFO slot
-        std::memcpy(xcat.data(), ring_row, R * 4);
-        std::memcpy(xcat.data() + R, x.data(), R * 4);
+        std::memcpy(xprev.data(), ring_row, R * 4);
         std::memcpy(ring_row, x.data(), R * 4);
 
+        // canonical SPLIT dilated GEMM (models/golden.py docstring):
+        // z = (x_prev @ Wprev + x @ Wcur) + (Bh + cond) — Wprev = input
+        // rows [0, R), Wcur = rows [R, 2R) of the fused [2R, 2R] stack
         const float* cb = cond + (((size_t)s * L + l) * B + b) * 2 * R;
         const float* bb = c->dil_b.data() + (size_t)l * 2 * R;
-        for (int j = 0; j < 2 * R; j++) z[j] = bb[j] + cb[j];
-        matvec_acc(xcat.data(), c->dil_w.data() + (size_t)l * 2 * R * 2 * R,
-                   z.data(), 2 * R, 2 * R);
+        const float* wl = c->dil_w.data() + (size_t)l * 2 * R * 2 * R;
+        std::fill(zp.begin(), zp.end(), 0.f);
+        std::fill(zc.begin(), zc.end(), 0.f);
+        matvec_acc(xprev.data(), wl, zp.data(), R, 2 * R);
+        matvec_acc(x.data(), wl + (size_t)R * 2 * R, zc.data(), R, 2 * R);
+        for (int j = 0; j < 2 * R; j++)
+          z[j] = (zp[j] + zc[j]) + (bb[j] + cb[j]);
         for (int j = 0; j < R; j++)
           h[j] = std::tanh(z[j]) * (1.f / (1.f + std::exp(-z[R + j])));
 

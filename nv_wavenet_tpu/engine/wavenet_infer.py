@@ -54,6 +54,29 @@ class Impl(enum.Enum):
 DEFAULT_VMEM_BUDGET = 100 * 1024 * 1024
 
 
+def _selector_stream(seed: int, t0: int, T: int, B: int,
+                     pidx: int = 0) -> np.ndarray:
+    """Default streaming-feed selectors [T, B]: a vectorized counter-based
+    uniform stream (splitmix64 finalizer) keyed on (seed, ABSOLUTE sample
+    index, batch row, process).  Chunk-invariant by construction — sample t
+    draws the same value however the caller chunks the conditioning — and
+    O(T*B) numpy vector ops instead of one RandomState PER SAMPLE on the
+    latency-critical serving path (ADVICE r3 / VERDICT r3 #5)."""
+    t = np.arange(t0, t0 + T, dtype=np.uint64)[:, None]
+    b = np.arange(B, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        x = (np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+             + t * np.uint64(0x9E3779B97F4A7C15)
+             + b * np.uint64(0xC2B2AE3D27D4EB4F)
+             + np.uint64(pidx) * np.uint64(0x165667B19E3779F9))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    # top 24 bits -> uniform [0, 1) float32
+    return ((x >> np.uint64(40)).astype(np.float32)
+            * np.float32(2.0 ** -24))
+
+
 class WaveNetInfer:
     def __init__(self,
                  num_layers: int,
@@ -83,15 +106,24 @@ class WaveNetInfer:
         # with single-pass MXU matmuls (fused + fast_math: 154.8 vs 92.5
         # kHz/utt exact on the flagship, BASELINE.md fast-tier table) —
         # without the caller micromanaging kernel knobs.  Governed by the
-        # same TV contract bound as fast_math alone; dump dispatches and
-        # VMEM overflows still fall back to the exact kernel automatically
-        # (_fuse_active).  priority="exact" / None leaves every knob as
-        # passed (the exact-match contract path).
-        assert priority in (None, "exact", "latency"), priority
+        # same TV contract bound as fast_math alone.  Dump dispatches and
+        # VMEM overflows fall back to the EXACT kernel: both priority-set
+        # knobs (fuse_chain via _fuse_active AND fast_math via
+        # _effective_fast_math) are dropped there, so the activation-getter
+        # debug surface stays bit-exact.  An EXPLICIT fast_math=True is the
+        # caller's own choice and stays in effect on dump runs.
+        # priority="exact" / None leaves every knob as passed (the
+        # exact-match contract path).
+        if priority not in (None, "exact", "latency"):
+            raise ValueError(f"unknown priority {priority!r}: "
+                             f"expected None, 'exact' or 'latency'")
         self.priority = priority
+        self._fast_math_from_priority = False
         if priority == "latency":
             fuse_chain = True
-            fast_math = True
+            if not fast_math:
+                fast_math = True
+                self._fast_math_from_priority = True
         self.cfg = WaveNetConfig(num_layers=num_layers, R=R, S=S, A=A,
                                  max_dilation=max_dilation,
                                  tanh_embed=tanh_embed)
@@ -123,8 +155,10 @@ class WaveNetInfer:
         # dependent per-sample matmul chain from 2L+3 to ~L+5 by folding the
         # residual stream into precomputed weights.  NOT bit-exact (fp32
         # sums reassociate) — governed by the teacher-forced distribution
-        # contract like bf16/fast_math.  Activation-dump runs always use the
-        # exact kernel (the getters are a debug surface).
+        # contract like bf16/fast_math.  Activation-dump runs route off the
+        # fused kernel onto the persistent-shape kernel (the getters are a
+        # debug surface); any OTHER caller-set accuracy knob (explicit
+        # fast_math, bf16) stays in effect there.
         self.fuse_chain = fuse_chain
         # tight R-lane gate packing inside the fused kernel (for R<128:
         # halves the dependent chain matmuls' K extent and the G stack's
@@ -570,12 +604,19 @@ class WaveNetInfer:
         engine runs anywhere, like the reference's CPU golden path."""
         return self.interpret or jax.default_backend() == "cpu"
 
+    def _effective_fast_math(self, dump: bool) -> bool:
+        """fast_math for this dispatch: when priority="latency" turned it on,
+        dump runs drop it (with fuse_chain) so the getter surface is the
+        exact kernel; a caller-requested fast_math stays."""
+        return self.fast_math and not (dump and self._fast_math_from_priority)
+
     def _persistent_gen(self, batch, mode, dump, stream=False):
         chunk = self._effective_chunk(batch, stream, dump,
                                       forced=(mode == "forced"))
         fused = self._fuse_active(batch, stream, dump,
                                   forced=(mode == "forced"))
         quant = bool(self.stream_quant) and stream
+        fast_math = self._effective_fast_math(dump)
         key = ("persistent", batch, chunk, mode, dump, stream, fused, quant,
                self.stream_group_size, self.stream_prefetch, self.fuse_pack)
         if key not in self._gen_cache:
@@ -586,7 +627,7 @@ class WaveNetInfer:
                     mode=mode, weight_dtype=self.weight_dtype,
                     compute_dtype=self.compute_dtype,
                     interpret=self._interpret(), prefold_cond=True,
-                    fast_math=self.fast_math, dump=dump,
+                    fast_math=fast_math, dump=dump,
                     stream_weights=stream,
                     stream_group_size=self.stream_group_size,
                     stream_prefetch=self.stream_prefetch,
@@ -599,7 +640,7 @@ class WaveNetInfer:
                         weight_dtype=self.weight_dtype,
                         compute_dtype=self.compute_dtype,
                         interpret=self._interpret(),
-                        fast_math=self.fast_math,
+                        fast_math=fast_math,
                         prefold_cond=True,
                         pack_gates=self.fuse_pack))
             else:
@@ -609,7 +650,7 @@ class WaveNetInfer:
                         weight_dtype=self.weight_dtype,
                         compute_dtype=self.compute_dtype,
                         interpret=self._interpret(),
-                        fast_math=self.fast_math,
+                        fast_math=fast_math,
                         prefold_cond=True, stream_weights=stream,
                         stream_group_size=self.stream_group_size,
                         stream_prefetch=self.stream_prefetch,
@@ -769,6 +810,20 @@ class WaveNetInfer:
         conditioning.  (The default stream differs from `set_inputs`'s
         all-upfront seeded draw — inject selectors to reproduce across the
         two input modes.)"""
+        return self._fetch_y(self.feed_device(cond_chunk, selectors_chunk,
+                                              mode))
+
+    def feed_device(self, cond_chunk,
+                    selectors_chunk: Optional[np.ndarray] = None,
+                    mode: str = "sample"):
+        """`feed` without the host readout: returns the DEVICE y [n, batch].
+        A serving loop that post-processes on device (mu-law decode) or
+        pipelines readout against the next chunk's compute avoids one
+        synchronous device->host round trip per feed — the streaming analog
+        of `run_device` (and of the reference's copy-stream overlap in
+        `run_chunks`, `nv_wavenet.cuh:445-497`).  `cond_chunk` may already
+        be a device array (e.g. produced by an on-device vocoder frontend);
+        host arrays are staged as in `feed`."""
         assert self._stream_t is not None, (
             "call begin_stream(batch_size) first")
         B = self._stream_batch
@@ -778,13 +833,8 @@ class WaveNetInfer:
         if selectors_chunk is None:
             if mode == "sample":
                 pidx = jax.process_index() if self.mesh is not None else 0
-                selectors_chunk = np.stack([
-                    np.random.RandomState(
-                        (self.sampling_seed + 0x9E3779B9 * t
-                         + 0x85EBCA6B * pidx) & 0x7FFFFFFF
-                    ).uniform(0, 1, size=(Bc,))
-                    for t in range(self._stream_t, self._stream_t + T)
-                ]).astype(np.float32)
+                selectors_chunk = _selector_stream(
+                    self.sampling_seed, self._stream_t, T, Bc, pidx)
             else:
                 selectors_chunk = np.zeros((T, Bc), np.float32)
         # stage the chunk on device (sharded under a mesh), keeping the
@@ -799,8 +849,7 @@ class WaveNetInfer:
             cond_pre = cond + self._dil_b_folded()[None, :, None, :]
         t0 = self._stream_t
         self._stream_t += T
-        y = self._dispatch(impl, t0, cond, cond_pre, sel, B, mode, False)
-        return self._fetch_y(y)
+        return self._dispatch(impl, t0, cond, cond_pre, sel, B, mode, False)
 
     def run_chunks(self, chunk_size: int, consume: Callable, num_samples: int,
                    batch_size: int, mode: str = "sample",

@@ -11,20 +11,22 @@ independent of the JAX/Pallas compute paths it validates.
 
 Network per sample t (reference math: `nv_wavenet_reference.cpp:283-302`):
   x0      = [tanh](embed_prev[y_{t-2}] + embed_cur[y_{t-1}])
-  layer l: z  = concat(x_{t-d_l}, x_t) @ Wdil_l + (Bh_l + cond[t, l])
+  layer l: z  = (x_{t-d_l} @ Wprev_l + x_t @ Wcur_l) + (Bh_l + cond[t, l])
            h  = tanh(z[:R]) * sigmoid(z[R:])
            x' = (h @ Wres_l + Bres_l) + x
            sk = (sk + h @ Wskip_l) + Bskip_l     (ReLU after last layer only)
   Zs = relu(sk @ Wzs + Bzs);  Za = Zs @ Wza + Bza;  p = softmax(Za)
   y_t = first bin where selector < cumsum(p)  (fallback: silence_bin)
 
-NOTE on float op order: the fused dilated matmul (one concat-GEMM instead of
-two GEMMs + add) and the `Bh + cond` pre-fold define *this framework's*
-canonical summation order; the Pallas kernel and the XLA scan generator follow
-the identical order so integer outputs can match the golden model exactly.
-Relative to the reference C++ oracle this reorders float additions, which is
-within the reference's own cross-implementation tolerance ladder
-(`nv_wavenet_test.cu:259-298`).
+NOTE on float op order: the SPLIT dilated matmul — two K=R GEMMs summed as
+`(z_prev + z_cur) + (Bh + cond)` — defines *this framework's* canonical
+summation order (round 4; rounds 1-3 used one concat-GEMM, but the split is
+~19% faster on hardware because the prev half leaves the kernel's dependent
+chain — see ops/persistent.py prev_prefetch).  The C++ oracle, the XLA scan
+generator and the Pallas kernel follow the identical order so integer
+outputs can match the golden model exactly.  Relative to the reference C++
+oracle this reorders float additions, which is within the reference's own
+cross-implementation tolerance ladder (`nv_wavenet_test.cu:259-298`).
 """
 
 from __future__ import annotations
@@ -214,8 +216,9 @@ class WaveNetGolden:
                 d = dils[l]
                 x_prev = (self._hist[s - d, l] if s - d >= 0
                           else np.zeros((B, R), np.float32))
-                xcat = np.concatenate([x_prev, x], axis=-1)
-                z = xcat @ self._Wdil[l] + (self._Bh[l] + self._cond[s, l, :B])
+                # canonical split dilated GEMM: (z_prev + z_cur) + (Bh+cond)
+                z = ((x_prev @ self._Wdil[l, :R] + x @ self._Wdil[l, R:])
+                     + (self._Bh[l] + self._cond[s, l, :B]))
                 h = np.tanh(z[:, :R]) * _sigmoid(z[:, R:])
                 x = (h @ self._Wres[l] + self._Bres[l]) + x
                 skip = (skip + h @ self._Wskip[l]) + self._Bskip[l]

@@ -25,10 +25,15 @@ kernel that runs the ENTIRE generation:
     automatic double buffering, overlapping DMA with compute — the TPU analog
     of `run_chunks`'s compute/copy overlap (`nv_wavenet.cuh:445-497`),
   * per-sample math is straight-line MXU/VPU code: the warp-specialized
-    pipeline stages (`nv_wavenet.cuh:87-207`) collapse into four matmuls per
-    sample-step group (embedding one-hot GEMM, fused 2-tap dilated GEMM,
-    fused residual+skip GEMM, output stack GEMMs) — no sentinels, no spins,
-    no barriers, by construction of XLA's sequential semantics.
+    pipeline stages (`nv_wavenet.cuh:87-207`) collapse into a few matmuls
+    per sample-step group (embedding one-hot GEMM, split 2-tap dilated
+    GEMMs, fused residual+skip GEMM, output stack GEMMs) — no sentinels, no
+    spins, no barriers, by construction of XLA's sequential semantics,
+  * the dilated-prev GEMMs run OFF the dependent chain (prev_prefetch:
+    computed for step t+1 at the tail of step t, in the MXU shadow of the
+    output stack + sampler — the reference's P5 cross-sample pipelining,
+    `nv_wavenet_singleblock.cuh:251-255`), leaving a K=R on-chain matmul
+    per layer instead of K=2R: measured ~19% on the flagship exact path.
 
 Layouts: activations [B, C] (batch on sublanes, channels on lanes); weights
 [in, out]; see models/params.py.
@@ -106,6 +111,7 @@ def stream_group(L: int, group_size: int = 8):
 def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                  dump: bool, compute_dtype, precision, unroll, prefold_cond,
                  rs_split, stream, stream_gs, stream_prefetch, stream_quant,
+                 prev_prefetch, embed_split,
                  # refs (order fixed by the pallas_call below):
                  t0_ref,                                   # scalar prefetch
                  embed, dil_w, dil_b, rs_w, rs_b, out_w, out_b, end_w, end_b,
@@ -119,6 +125,13 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
         dil_s, rs_s = more[0], more[1]
         more = more[2:]
     cond, sel, ring_in, y_in, y_out, ring_out, y_state_out, *rest = more
+    if prev_prefetch:
+        # cross-sample software pipelining of the dilated-prev GEMMs (the
+        # reference's P5, `nv_wavenet_singleblock.cuh:251-255`): zp_buf
+        # carries Wprev @ x_{t-d} for the NEXT step, computed off the
+        # dependent chain in the MXU shadow of the output stack + sampler
+        zp_buf = rest[-1]
+        rest = rest[:-1]
     if stream:
         # MANYBLOCK analog: the per-layer weight stack stays in HBM; layer
         # l+1's weights DMA into the spare VMEM buffer while layer l computes
@@ -200,12 +213,29 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
     # at the last.  Keeping it as an aliased VMEM-windowed operand instead
     # would allocate TWO full-size VMEM windows (input + output) — the
     # compiler does not merge aliased windows.
+    def _prev_slot(l, t):
+        slot = p_offs[l] + jax.lax.bitwise_and(t, dils[l] - 1)
+        return slot, lane_slots[l] * R
+
+    def _compute_zp(t):
+        """zp_buf[l] = x^l_{t-d_l} @ Wprev_l for every layer — inputs are
+        ring state written at steps < t, so this runs OFF the dependent
+        chain (at call start for the first step; thereafter at the tail of
+        step t-1, under its output stack / sampler)."""
+        for l in range(L):
+            slot, q = _prev_slot(l, t)
+            xp = ring[pl.ds(slot, 1)][0, :, q:q + R]
+            zp_buf[l] = _dot(xp.astype(compute_dtype),
+                             dil_w[l][:R, :].astype(compute_dtype), precision)
+
     @pl.when(i == 0)
     def _():
         cp = pltpu.make_async_copy(ring_in, ring, dma_sem)
         cp.start()
         cp.wait()
         y_state_out[...] = y_in[...]
+        if prev_prefetch:
+            _compute_zp(t0_ref[0])
 
 
     t_base = t0_ref[0] + i * chunk
@@ -231,10 +261,22 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
 
         # --- embedding: one-hot x fused [2A, R] table (one GEMM) ---
         ids = jax.lax.broadcasted_iota(jnp.int32, (B, A), 1)
-        onehot = jnp.concatenate(
-            [(ids == y_prev[:, None]), (ids == y_cur[:, None])], axis=-1
-        ).astype(compute_dtype)
-        x = _dot(onehot, embed[...].astype(compute_dtype), precision)
+        if embed_split:
+            # two INDEPENDENT K=A GEMMs instead of one K=2A: they pipeline
+            # on the MXU, halving the chain's first-stage fill latency.
+            # Exactness-preserving: a one-hot matmul selects exactly one
+            # row per table, so any summation grouping yields the same
+            # single rounded add fl(row_prev + row_cur).
+            et = embed[...].astype(compute_dtype)
+            x = (_dot((ids == y_prev[:, None]).astype(compute_dtype),
+                      et[:A], precision)
+                 + _dot((ids == y_cur[:, None]).astype(compute_dtype),
+                        et[A:], precision))
+        else:
+            onehot = jnp.concatenate(
+                [(ids == y_prev[:, None]), (ids == y_cur[:, None])], axis=-1
+            ).astype(compute_dtype)
+            x = _dot(onehot, embed[...].astype(compute_dtype), precision)
         if cfg.tanh_embed:
             x = jnp.tanh(x)
         x = x.astype(compute_dtype)
@@ -243,13 +285,28 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
         for l in range(L):
             # lane-packed FIFO row: layers with equal dilation share a
             # 128-lane row, each in its own static R-lane column block
+            # canonical dilated GEMM: SPLIT prev/cur halves,
+            # z = (x_{t-d} @ Wprev + x_t @ Wcur) + (Bh + cond) — the round-4
+            # canonical order shared by golden + C++ + scan + kernel.  The
+            # on-chain matmul contracts over K=R instead of K=2R, and with
+            # prev_prefetch the prev half leaves the dependent chain
+            # entirely (computed at the tail of the previous step, under
+            # its output stack/sampler — the reference's P5 cross-sample
+            # pipelining, `nv_wavenet_singleblock.cuh:251-255`).
             slot = p_offs[l] + jax.lax.bitwise_and(t, dils[l] - 1)
             q = lane_slots[l] * R
-            x_prev = ring[pl.ds(slot, 1)][0, :, q:q + R]   # [B, R] = x^l_{t-d}
-            ring[pl.ds(slot, 1), :, q:q + R] = x.astype(ring.dtype)[None]
-            dw, rw = layer_weights(l, i * chunk + j)
-            xcat = jnp.concatenate([x_prev.astype(compute_dtype), x], axis=-1)
-            z = _dot(xcat, dw.astype(compute_dtype), precision)
+            if prev_prefetch:
+                zp = zp_buf[l]
+                ring[pl.ds(slot, 1), :, q:q + R] = x.astype(ring.dtype)[None]
+                dw, rw = layer_weights(l, i * chunk + j)
+            else:
+                x_prev = ring[pl.ds(slot, 1)][0, :, q:q + R]  # x^l_{t-d}
+                ring[pl.ds(slot, 1), :, q:q + R] = x.astype(ring.dtype)[None]
+                dw, rw = layer_weights(l, i * chunk + j)
+                zp = _dot(x_prev.astype(compute_dtype),
+                          dw[:R, :].astype(compute_dtype), precision)
+            zc = _dot(x, dw[R:, :].astype(compute_dtype), precision)
+            z = zp + zc
             if prefold_cond:
                 # engine pre-added dil_b into the conditioning stream
                 # (identical float values: elementwise add is exactly
@@ -301,6 +358,14 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                  precision) + out_b[0].astype(jnp.float32), 0.0)
         za = _dot(zs.astype(compute_dtype), end_w[...].astype(compute_dtype),
                   precision) + end_b[0].astype(jnp.float32)
+
+        if prev_prefetch:
+            # issue the NEXT step's prev GEMMs now: all of step t's ring
+            # writes have landed, and the softmax/sampler below is VPU work
+            # the MXU would otherwise idle under (P5 cross-sample
+            # pipelining).  A final-step computation is harmless: the next
+            # call recomputes zp_buf from the carried ring at i == 0.
+            _compute_zp(t + 1)
 
         if mode != "argmax" or dump:
             # stable softmax: needed for sampling and for the dump-mode p
@@ -437,6 +502,8 @@ def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
                + _padded_bytes((1, A), wb))
     rows, pack, _, _ = cfg.packed_ring_plan()
     ring = _padded_bytes((rows, B, pack * R), ab)        # scratch, one copy
+    # prev_prefetch zp_buf (VMEM-resident kernels only)
+    zp = 0 if stream else _padded_bytes((L, B, 2 * R), 4)
     # streamed blocks are double-buffered by the grid pipeline
     cond = 2 * _padded_bytes((chunk, L, B, 2 * R), ab)
     sel = 2 * _padded_bytes((chunk, B), 4)
@@ -450,7 +517,7 @@ def estimate_vmem_bytes(cfg: WaveNetConfig, batch: int, chunk: int,
               + 3 * _padded_bytes((B, A), 4)) if dump else 0
     work = _padded_bytes((B, 8 * R + 4 * S + 8 * A), 4)  # rough live set
     spill = 4 * 1024 * 1024                              # register spills
-    return (weights + ring + cond + sel + y + y_state + p_seq + dump_b
+    return (weights + ring + zp + cond + sel + y + y_state + p_seq + dump_b
             + work + spill)
 
 
@@ -466,7 +533,9 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                               stream_weights: bool = False,
                               stream_group_size: int = 8,
                               stream_prefetch: bool = False,
-                              stream_quant: bool = False):
+                              stream_quant: bool = False,
+                              prev_prefetch=None,
+                              embed_split: bool = False):
     # NOTE: Pallas TPU fori_loop supports only unroll=1 or full unroll
     # (=chunk); full unroll multiplies compile time by the chunk length.
     #
@@ -500,11 +569,22 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
     assert not (stream_quant and weight_dtype != jnp.float32), (
         "stream_quant=int8 replaces the streamed stacks' storage dtype; "
         "combine with fp32 weight_dtype only")
+    if prev_prefetch is None:
+        # default schedule: prefetch the prev GEMMs cross-sample (P5) when
+        # weights are VMEM-resident; the streaming kernel computes them
+        # in-loop (same canonical VALUES either way — the prev half reads
+        # ring state from steps < t, which both schedules observe
+        # identically)
+        prev_prefetch = not stream_weights
+    assert not (prev_prefetch and stream_weights), (
+        "prev_prefetch reads next-step prev weights from VMEM-resident "
+        "stacks; the streaming kernel computes the prev GEMM in-loop")
 
     kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode, dump,
                                compute_dtype, precision, unroll, prefold_cond,
                                rs_split, stream_weights, stream_group_size,
-                               stream_prefetch, stream_quant)
+                               stream_prefetch, stream_quant,
+                               prev_prefetch, embed_split)
 
     if stream_weights:
         # MANYBLOCK: the per-layer stacks stay in HBM; the kernel
@@ -614,6 +694,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
         aliases = {1 + n_w + 2: 1, 1 + n_w + 3: 2}
         scratch = [pltpu.VMEM(ring.shape, ring.dtype),
                    pltpu.SemaphoreType.DMA(())]
+        if prev_prefetch:
+            scratch += [pltpu.VMEM((L, B, 2 * R), jnp.float32)]
         if stream_weights:
             pad128 = lambda n: -(-n // 128) * 128  # noqa: E731
             G, _ = stream_group(L, stream_group_size)

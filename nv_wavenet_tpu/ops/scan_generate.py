@@ -123,9 +123,13 @@ def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
         x_prev = jax.lax.dynamic_slice_in_dim(ring, slot, 1, axis=0)[0]
         ring = jax.lax.dynamic_update_slice_in_dim(ring, x[None].astype(ring.dtype),
                                                    slot, axis=0)
-        xcat = jnp.concatenate([x_prev.astype(compute_dtype), x], axis=-1)
-        z = jnp.dot(xcat, params["dil_w"][l].astype(compute_dtype),
-                    preferred_element_type=jnp.float32, precision=prec)
+        # canonical split dilated GEMM (see models/golden.py docstring):
+        # z = (x_prev @ Wprev + x @ Wcur) + (Bh + cond)
+        dw = params["dil_w"][l].astype(compute_dtype)
+        z = (jnp.dot(x_prev.astype(compute_dtype), dw[:R],
+                     preferred_element_type=jnp.float32, precision=prec)
+             + jnp.dot(x, dw[R:],
+                       preferred_element_type=jnp.float32, precision=prec))
         z = z + (params["dil_b"][l] + cond_t[l]).astype(jnp.float32)
         h = jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
         rs = jnp.dot(h.astype(compute_dtype),

@@ -14,9 +14,11 @@ Flags (reference mapping):
                       knob: sizes the per-grid-step conditioning chunk)
   -n num samples     (default 16384)
   -d max dilation    (default 512)
-  -m mode            auto | persistent | manyblock | fused (single/dual map
-                      to persistent; reference `Implementation` enum parity;
-                      fused = persistent through the collapsed-chain kernel)
+  -m mode            auto | persistent | manyblock | fused | fused_pack |
+                      fused_fast (single/dual map to persistent; reference
+                      `Implementation` enum parity; fused* = persistent
+                      through the collapsed-chain kernel, _pack = tight
+                      R-lane gate packing, _fast = single-pass MXU matmuls)
   -p precision       32 | 16 (16 = bfloat16 weights, fp32 accumulation)
   --compute 32|16    compute dtype (16 = bf16 activations+matmul inputs)
   --fast_math        fp32 storage, single-pass DEFAULT-precision matmuls
@@ -43,6 +45,14 @@ import time
 import numpy as np
 
 
+# sweepable mode space: the reference's Implementation sweep plus this
+# framework's fast-decode tiers, so the documented "sweep for the best
+# rate" workflow (`README.md:58-66`) can actually surface the fastest
+# configuration (fused+fast_math) rather than only the exact kernels
+SWEEP_MODES_ALL = ("persistent", "manyblock", "fused", "fused_pack",
+                   "fused_fast")
+
+
 def build_engine(args, impl, batch, chunk, mode=None):
     import jax.numpy as jnp
 
@@ -50,17 +60,21 @@ def build_engine(args, impl, batch, chunk, mode=None):
 
     wdt = jnp.bfloat16 if args.precision == 16 else jnp.float32
     cdt = jnp.bfloat16 if args.compute == 16 else jnp.float32
-    # mode "fused" = PERSISTENT through the collapsed-chain kernel
-    fused = args.fused or mode == "fused"
+    # mode "fused*" = PERSISTENT through the collapsed-chain kernel;
+    # "fused_pack" adds tight R-lane gate packing, "fused_fast" single-pass
+    # MXU matmuls (the measured-fastest tier, BASELINE.md fast-tier table)
+    fused = args.fused or (mode or "").startswith("fused")
     return WaveNetInfer(num_layers=args.layers, max_dilation=args.max_dilation,
                         R=args.r_chans, S=args.s_chans, A=args.a_chans,
                         max_batch=batch, implementation=impl,
                         chunk_size=chunk, weight_dtype=wdt,
-                        compute_dtype=cdt, fast_math=args.fast_math,
+                        compute_dtype=cdt,
+                        fast_math=args.fast_math or mode == "fused_fast",
                         stream_group_size=args.stream_gs,
                         stream_prefetch=args.stream_prefetch,
                         stream_quant=args.stream_quant,
-                        fuse_chain=fused, fuse_pack=args.fused_pack)
+                        fuse_chain=fused,
+                        fuse_pack=args.fused_pack or mode == "fused_pack")
 
 
 def device_inputs(args, T, batch):
@@ -123,7 +137,8 @@ def run_sweep(args, impl_map):
 
     batches = [int(b) for b in args.sweep_batches.split(",")]
     chunks = [int(c) for c in args.sweep_chunks.split(",")]
-    modes = args.sweep_modes.split(",")
+    modes = (list(SWEEP_MODES_ALL) if args.sweep_modes == "all"
+             else args.sweep_modes.split(","))
     T = args.samples
     print(f"Sweep: layers={args.layers} R={args.r_chans} S={args.s_chans} "
           f"A={args.a_chans} maxD={args.max_dilation} T={T} "
@@ -185,7 +200,8 @@ def main():
     ap.add_argument("-d", "--max_dilation", type=int, default=512)
     ap.add_argument("-m", "--mode", default="auto",
                     choices=["auto", "single", "dual", "persistent",
-                             "manyblock", "fused"])
+                             "manyblock", "fused", "fused_pack",
+                             "fused_fast"])
     ap.add_argument("-p", "--precision", type=int, default=32,
                     choices=[16, 32])
     ap.add_argument("--compute", type=int, default=32, choices=[16, 32])
@@ -215,7 +231,12 @@ def main():
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--sweep_batches", default="1,8,16,64")
     ap.add_argument("--sweep_chunks", default="64,256")
-    ap.add_argument("--sweep_modes", default="persistent,manyblock")
+    ap.add_argument("--sweep_modes",
+                    default="persistent,manyblock,fused_fast",
+                    help="comma list from "
+                         "persistent,manyblock,fused,fused_pack,fused_fast "
+                         "or 'all' (fused_* = collapsed-chain fast tiers; "
+                         "the default includes the measured-fastest one)")
     args = ap.parse_args()
 
     from nv_wavenet_tpu.utils.cache import enable_compilation_cache
@@ -228,7 +249,8 @@ def main():
 
     impl_map = {"auto": Impl.AUTO, "single": Impl.SINGLE_BLOCK,
                 "dual": Impl.DUAL_BLOCK, "persistent": Impl.PERSISTENT,
-                "manyblock": Impl.MANYBLOCK, "fused": Impl.PERSISTENT}
+                "manyblock": Impl.MANYBLOCK, "fused": Impl.PERSISTENT,
+                "fused_pack": Impl.PERSISTENT, "fused_fast": Impl.PERSISTENT}
     if args.sweep:
         run_sweep(args, impl_map)
     else:

@@ -4,7 +4,10 @@ TPU through the public engine API (see .claude/skills/verify/SKILL.md).
 
 Covers: ragged run_chunks exact-match, MANYBLOCK (HBM-streaming kernel) vs
 PERSISTENT identity, bf16-weights cross-impl identity, dump-mode p
-normalization, and streaming feed parity — all compiled on hardware.
+normalization, int8 weight-streaming exactness, fused-chain TV contract,
+reset_utterances (continuous batching), set_temperature patch-path
+identity, and streaming feed parity — every public serving mutation
+compiled on hardware.
 """
 import argparse
 import time
@@ -136,6 +139,45 @@ def main(argv=None):
     except Exception as e:
         print(f"WARNING: fused-chain check FAILED (non-fatal): "
               f"{type(e).__name__}: {e}", flush=True)
+
+    # reset_utterances (continuous batching) ON CHIP: reset one row
+    # mid-stream; its continuation must bit-match a fresh engine fed only
+    # the tail, while the other rows match the uninterrupted run
+    t0 = time.time()
+    T1 = 13
+    er = make(Impl.AUTO)
+    er.begin_stream(B)
+    y1 = er.feed(cond[:T1], sel[:T1])
+    er.reset_utterances([2])
+    y2 = er.feed(cond[T1:], sel[T1:])
+    keep = [r for r in range(B) if r != 2]
+    assert np.array_equal(np.concatenate([y1, y2], 1)[keep], y_gold[keep]), \
+        "reset_utterances: surviving rows diverged"
+    ef2 = make(Impl.AUTO)
+    ef2.begin_stream(B)
+    y_fr = ef2.feed(cond[T1:], sel[T1:])
+    assert np.array_equal(y2[2], y_fr[2]), (
+        "reset_utterances: reset row != fresh engine")
+    print(f"reset_utterances continuous-batching exact-match OK "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    # set_temperature ON CHIP: the cheap patch path (only end_w/end_b
+    # re-upload) must equal constructing with that temperature, and T=1
+    # must restore the exact-match contract
+    t0 = time.time()
+    et = make(Impl.AUTO)
+    et._device_params()                 # force device weights, then patch
+    et.set_temperature(2.0)
+    et.set_inputs(cond, sel)
+    y_t2 = et.run(T, B)
+    assert np.array_equal(y_t2, make(Impl.AUTO, temperature=2.0).run(T, B)), \
+        "set_temperature patch path != constructor path"
+    et.set_temperature(1.0)
+    et.set_inputs(cond, sel)
+    assert np.array_equal(et.run(T, B), y_gold), (
+        "set_temperature(1.0) did not restore exactness")
+    print(f"set_temperature patch-path identity + T=1 exactness OK "
+          f"({time.time() - t0:.0f}s)", flush=True)
 
     # streaming feed parity (ragged chunks over the same conditioning)
     eng.begin_stream(B)

@@ -5,8 +5,12 @@ configs/config.json`, the parity entry point for the reference's
 The four config sections keep the reference's names (`pytorch/config.json`):
 train_config, data_config, dist_config, wavenet_config.  dist_config selects
 mesh axes (data_parallel x model_parallel x seq_parallel) instead of NCCL
-URLs — multi-host bring-up is `jax.distributed.initialize` (see
-parallel/mesh.py).
+URLs, and — the launcher analog of the reference's per-rank spawn
+(`pytorch/distributed.py:145-171`) — brings up multi-HOST training from
+config alone: when it carries `coordinator_address` (+ `num_processes`),
+the CLI calls `jax.distributed.initialize` before any device use.  The
+per-rank `process_id` comes from dist_config, the `--process_id` flag, or
+standard TPU-pod env autodetection, so one config file serves every host.
 """
 
 from __future__ import annotations
@@ -21,6 +25,10 @@ def main(argv=None):
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument("-n", "--num_iters", type=int, default=None,
                     help="override train_config.num_iters")
+    ap.add_argument("--process_id", type=int, default=None,
+                    help="this host's rank for multi-host bring-up "
+                         "(overrides dist_config.process_id; unneeded on "
+                         "TPU pods, where it autodetects)")
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -29,6 +37,23 @@ def main(argv=None):
     data_c = cfg["data_config"]
     dist_c = cfg.get("dist_config", {})
     wavenet_c = cfg["wavenet_config"]
+
+    # dev/test hook: force the JAX platform programmatically (this must be
+    # a config.update — some environments' sitecustomize overrides the
+    # JAX_PLATFORMS env var; see tests/conftest.py)
+    if os.environ.get("NVW_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["NVW_PLATFORM"])
+
+    if dist_c.get("coordinator_address"):
+        from nv_wavenet_tpu.parallel.mesh import initialize_multihost
+        pid = args.process_id
+        if pid is None:
+            pid = dist_c.get("process_id")
+        initialize_multihost(
+            coordinator_address=dist_c["coordinator_address"],
+            num_processes=dist_c.get("num_processes"),
+            process_id=pid)
 
     from nv_wavenet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()

@@ -461,3 +461,25 @@ def test_export_import_state_resumes_stream_exactly():
     e5.import_state(snap2)
     y_tail = e5.run_partial(5, T - 5, B)
     assert np.array_equal(y_tail, y_ref[:, 5:])
+
+
+def test_selector_stream_properties():
+    """The vectorized default-feed selector stream: uniform in [0, 1),
+    chunk-invariant (keyed on the absolute sample index), decorrelated
+    across batch rows / seeds / processes."""
+    from nv_wavenet_tpu.engine.wavenet_infer import _selector_stream
+
+    s = _selector_stream(7, 0, 4096, 4)
+    assert s.shape == (4096, 4) and s.dtype == np.float32
+    assert (s >= 0).all() and (s < 1).all()
+    assert abs(s.mean() - 0.5) < 0.02 and abs(np.var(s) - 1 / 12) < 0.005
+    # chunk invariance: [t0, t0+T) slices of one logical stream
+    full = _selector_stream(7, 0, 64, 3)
+    cat = np.concatenate([_selector_stream(7, 0, 10, 3),
+                          _selector_stream(7, 10, 30, 3),
+                          _selector_stream(7, 40, 24, 3)])
+    assert np.array_equal(full, cat)
+    # distinct rows / seeds / processes give distinct draws
+    assert not np.array_equal(s[:, 0], s[:, 1])
+    assert not np.array_equal(s, _selector_stream(8, 0, 4096, 4))
+    assert not np.array_equal(s, _selector_stream(7, 0, 4096, 4, pidx=1))

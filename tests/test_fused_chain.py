@@ -242,9 +242,10 @@ def test_priority_latency_selects_fused_fast_math(fused_case):
     (fuse_chain + fast_math, BASELINE.md fast-tier table): it must produce
     the IDENTICAL integer sequence to an engine with those knobs set
     explicitly (same kernels, deterministic), and priority=None/"exact"
-    must leave the exact path untouched."""
-    import pytest
-
+    must leave the exact path untouched.  Dump dispatches under the
+    priority tier drop BOTH priority-set knobs (fused kernel AND
+    fast_math), so the activation getters read the exact kernel's values
+    and the dump trajectory bit-matches the default engine's."""
     params, cond, sel, forced, _ = fused_case
     B, T = 8, cond.shape[0]
 
@@ -265,8 +266,23 @@ def test_priority_latency_selects_fused_fast_math(fused_case):
                           mk(fuse_chain=True, fast_math=True).run(T, B))
     # "exact"/None change nothing: bit-identical to the default engine
     assert not mk(priority="exact").fuse_chain
-    assert np.array_equal(mk(priority="exact").run(T, B), mk().run(T, B))
-    with pytest.raises(AssertionError):
+    y_exact = mk().run(T, B)
+    assert np.array_equal(mk(priority="exact").run(T, B), y_exact)
+    # dump dispatches drop the priority-set fast_math too (ADVICE r3): the
+    # dump run is the EXACT kernel — same integers and same p as a default
+    # engine's dump run
+    eng_d = mk(priority="latency")
+    assert not eng_d._effective_fast_math(dump=True)
+    assert eng_d._effective_fast_math(dump=False)
+    y_dump = eng_d.run(T, B, dump_activations=True)
+    assert np.array_equal(y_dump, y_exact)
+    eng_ref = mk()
+    eng_ref.run(T, B, dump_activations=True)
+    assert np.array_equal(eng_d.get_p(), eng_ref.get_p())
+    # an EXPLICIT fast_math is the caller's choice and stays on dump runs
+    assert mk(priority="latency",
+              fast_math=True)._effective_fast_math(dump=True)
+    with pytest.raises(ValueError):
         mk(priority="throughput")
 
 

@@ -142,3 +142,46 @@ def test_random_geometry_int8_stream_deterministic(seed):
     assert np.array_equal(np.asarray(y_scan), y_q), (
         f"seed {seed} int8 determinism mismatch "
         f"(agree {np.mean(np.asarray(y_scan) == y_q):.3f})")
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_flagship_geometry_exact_equivalence(seed):
+    """Large-geometry fuzz (VERDICT r3 #8): flagship-scale config (20L 64R
+    256S 256A maxD=512) at an odd batch — the lane-packed ring has
+    multi-row lane packing and exotic R-multiple lane offsets here, which
+    the small-geometry fuzz cases never reach.  T*B stays far inside the
+    16k-draw exactness horizon."""
+    rng = np.random.RandomState(8000 + seed)
+    cfg = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512,
+                        tanh_embed=bool(seed % 2))
+    B = 5  # odd: exercises ragged sublane batch against the packed ring
+    T = int(rng.randint(12, 20))
+    ref_w = params_lib.random_reference_weights(cfg, seed=9000 + seed)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+
+    golden = WaveNetGolden(cfg, B, T)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_gold = golden.run(T, B)
+
+    eng = WaveNetInfer(num_layers=cfg.num_layers, max_dilation=cfg.max_dilation,
+                       R=cfg.R, S=cfg.S, A=cfg.A, max_batch=B,
+                       implementation=Impl.PERSISTENT,
+                       tanh_embed=cfg.tanh_embed, chunk_size=8,
+                       interpret=True)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, sel)
+    cut = int(rng.randint(1, T))
+    y = np.concatenate([eng.run_partial(0, cut, B),
+                        eng.run_partial(cut, T - cut, B)], axis=1)
+    assert np.array_equal(y, y_gold), (
+        f"seed {seed} flagship-geometry mismatch "
+        f"(agree {np.mean(y == y_gold):.3f})")
+
+    if native.available():
+        nat = native.NativeGolden(cfg)
+        nat.set_canonical_params(params_lib.to_canonical(ref_w, cfg))
+        assert np.array_equal(nat.run(cond, sel), y_gold), (
+            f"seed {seed} flagship C++ oracle mismatch")

@@ -58,5 +58,17 @@ if __name__ == "__main__":
     T = 4096
     measure(FL, 16, 256, T, "baseline")
     measure(FL, 16, 256, T, "rs_split", rs_split=True)
-    measure(FL, 16, 256, T, "rs_split+prefold", rs_split=True,
-            prefold_cond=True)
+    # round-4 chain-restructuring candidates (all exactness-preserving or
+    # adopted-canonical-order changes verified vs golden on CPU):
+    #   split_dil: dilated prev GEMM precomputed off-chain for the next step
+    #              (P5 cross-sample pipelining); chain matmul K=2R -> K=R
+    #   embed_split: one-hot embedding as two independent K=A GEMMs
+    measure(FL, 16, 256, T, "split_dil", split_dil=True)
+    measure(FL, 16, 256, T, "embed_split", embed_split=True)
+    measure(FL, 16, 256, T, "split_dil+embed_split", split_dil=True,
+            embed_split=True)
+    measure(FL, 16, 256, T, "split_dil+embed+rs_split", split_dil=True,
+            embed_split=True, rs_split=True)
+    measure(FL, 1, 256, T, "b=1 baseline")
+    measure(FL, 1, 256, T, "b=1 split_dil+embed_split", split_dil=True,
+            embed_split=True)
