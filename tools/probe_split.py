@@ -56,19 +56,15 @@ def measure(cfg, batch, chunk, T, label, iters=3, fetch_all=False, **kw):
 if __name__ == "__main__":
     FL = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512)
     T = 4096
-    measure(FL, 16, 256, T, "baseline")
+    # The prev/cur dilated-GEMM split is THE canonical order since round 4
+    # and prev_prefetch (P5 cross-sample pipelining of the prev half) is the
+    # default schedule; the probe rows isolate each remaining knob.
+    measure(FL, 16, 256, T, "baseline (split + prev_prefetch)")
+    measure(FL, 16, 256, T, "prev in-loop (prev_prefetch=False)",
+            prev_prefetch=False)
     measure(FL, 16, 256, T, "rs_split", rs_split=True)
-    # round-4 chain-restructuring candidates (all exactness-preserving or
-    # adopted-canonical-order changes verified vs golden on CPU):
-    #   split_dil: dilated prev GEMM precomputed off-chain for the next step
-    #              (P5 cross-sample pipelining); chain matmul K=2R -> K=R
-    #   embed_split: one-hot embedding as two independent K=A GEMMs
-    measure(FL, 16, 256, T, "split_dil", split_dil=True)
     measure(FL, 16, 256, T, "embed_split", embed_split=True)
-    measure(FL, 16, 256, T, "split_dil+embed_split", split_dil=True,
-            embed_split=True)
-    measure(FL, 16, 256, T, "split_dil+embed+rs_split", split_dil=True,
-            embed_split=True, rs_split=True)
+    measure(FL, 16, 256, T, "embed_split+rs_split", embed_split=True,
+            rs_split=True)
     measure(FL, 1, 256, T, "b=1 baseline")
-    measure(FL, 1, 256, T, "b=1 split_dil+embed_split", split_dil=True,
-            embed_split=True)
+    measure(FL, 1, 256, T, "b=1 embed_split", embed_split=True)
