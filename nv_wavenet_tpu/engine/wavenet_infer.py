@@ -206,8 +206,10 @@ class WaveNetInfer:
         self._y_state = None
         self._dumps = None
         self._fused_prep = None
+        self._spec_prep = None
         self._warned_fuse_vmem = False
         self._gen_cache: Dict = {}
+        self._feed_cache: Dict = {}
         self._stream_t: Optional[int] = None  # begin_stream/feed cursor
 
     # ------------------------------------------------------------------
@@ -219,6 +221,7 @@ class WaveNetInfer:
         self._params_cast = None
         self._cond_pre = None
         self._fused_prep = None
+        self._spec_prep = None
 
     def _fused_weights(self):
         """Folded fused-chain operand tuple, computed ONCE per weight upload
@@ -559,6 +562,7 @@ class WaveNetInfer:
             self._params["end_b"] = jnp.asarray(end_b)
         self._params_cast = None        # derived copies pick up new values
         self._fused_prep = None
+        self._spec_prep = None
 
     def _device_params(self, dtype=None):
         if self._params is None:
@@ -839,17 +843,157 @@ class WaveNetInfer:
                 selectors_chunk = np.zeros((T, Bc), np.float32)
         # stage the chunk on device (sharded under a mesh), keeping the
         # carried generation state (set_inputs would reset it)
+        impl = self._resolve_impl(B)
+        t0 = self._stream_t
+        self._stream_t += T
+        if self.mesh is None and not (impl == Impl.MANYBLOCK
+                                      and mode == "prng"):
+            # serving fast path: ONE dispatch per feed (see _feed_dispatch)
+            return self._feed_dispatch(impl, t0, cond_chunk, selectors_chunk,
+                                       B, mode)
         cond = self._shard(jnp.asarray(cond_chunk, jnp.float32),
                            P(None, None, "data", None))
         sel = self._shard(jnp.asarray(selectors_chunk, jnp.float32),
                           P(None, "data"))
-        impl = self._resolve_impl(B)
         cond_pre = None
         if not (impl == Impl.MANYBLOCK and mode == "prng"):
             cond_pre = cond + self._dil_b_folded()[None, :, None, :]
-        t0 = self._stream_t
-        self._stream_t += T
         return self._dispatch(impl, t0, cond, cond_pre, sel, B, mode, False)
+
+    def _feed_dispatch(self, impl: Impl, t0: int, cond, sel, B: int,
+                       mode: str):
+        """Single-dispatch feed: the dil_b prefold, chunk padding, param-block
+        assembly and kernel launch fuse into ONE cached jitted callable, so a
+        serving loop pays one host->device dispatch per feed instead of ~6
+        (measured over the tunneled TPU: per-op dispatch latency dominated
+        the per-feed cost at conversational chunk sizes — tools/
+        feed_latency.py).  Single-process engines only; the mesh path keeps
+        the staged-sharding dispatch."""
+        T = int(sel.shape[0]) if hasattr(sel, "shape") else len(sel)
+        stream = impl == Impl.MANYBLOCK
+        fused = self._fuse_active(B, stream, False, forced=(mode == "forced"))
+        chunk = self._effective_chunk(B, stream, False,
+                                      forced=(mode == "forced"))
+        key = ("feed", T, B, mode, stream, fused, chunk)
+        if key not in self._feed_cache:
+            gen = self._persistent_gen(B, mode, False, stream)
+            pad = (-T) % chunk
+
+            def f(params, dil_b, cond, sel, ring, y_state, t0s):
+                cond_pre = (jnp.asarray(cond, jnp.float32)
+                            + dil_b[None, :, None, :])
+                sel = jnp.asarray(sel, jnp.float32)
+                if pad:
+                    cond_pre = jnp.pad(
+                        cond_pre, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                    sel = jnp.pad(sel, ((0, pad), (0, 0)))
+                return gen(params, t0s[:1], cond_pre, sel, ring, y_state,
+                           n_valid=T, seed=t0s[1])
+
+            self._feed_cache[key] = jax.jit(f, donate_argnums=(4, 5))
+        params = self._fused_weights() if fused else self._device_params()
+        out = self._feed_cache[key](
+            params, self._dil_b_folded(), cond, sel, self._ring,
+            self._y_state, np.asarray([t0, self.sampling_seed], np.int32))
+        y, self._ring, self._y_state = out[0], out[1], out[2]
+        return y[:T]
+
+    def run_speculative(self, num_samples: int, batch_size: int,
+                        window: int = 64) -> np.ndarray:
+        """Exact-contract sampling via SPECULATIVE EXACT DECODE
+        (ops/speculative): draft `window` steps with the fused fast kernel,
+        verify them in one time-parallel pass of the exact scorer, commit
+        the agreeing prefix + the exact correction token.  The returned
+        samples BIT-MATCH `run(num_samples, batch_size)` (mode="sample",
+        injected selectors) — the draft only affects speed.  A latency-tier
+        feature: the whole batch commits in lockstep at the first
+        disagreement of any row, so speedup decays with batch; use
+        batch_size=1 (or small) where single-stream rate matters.
+        `spec_rounds` afterwards holds the number of draft-verify rounds
+        (num_samples/spec_rounds ~ average committed run length)."""
+        y, rounds = self._run_speculative_device(num_samples, batch_size,
+                                                 window)
+        self.spec_rounds = int(rounds)
+        return np.asarray(y).T
+
+    def _run_speculative_device(self, num_samples: int, batch_size: int,
+                                window: int = 64):
+        """`run_speculative` without host readout: returns DEVICE
+        (y [T, B], rounds) — perf harnesses tail-fetch y themselves."""
+        assert self._cond is not None, "set_inputs must be called first"
+        assert self.mesh is None, "speculative decode: single-process only"
+        B = batch_size
+        sel = self._selectors[:num_samples, :B]
+        cond = self._cond[:num_samples, :, :B]
+        self._reset_state(B)
+        key = ("spec", num_samples, B, window)
+        if key not in self._gen_cache:
+            from nv_wavenet_tpu.ops import speculative
+            self._gen_cache[key] = jax.jit(
+                speculative.make_speculative_generator(
+                    self.cfg, B, window, interpret=self._interpret()))
+        if self._spec_prep is None:
+            # the draft kernel's weight fold (prefold_cond=False: raw cond),
+            # once per weight upload like _fused_weights
+            self._spec_prep = jax.jit(
+                lambda p: fused_chain.prepare_weights(p, self.cfg, False)
+            )(self._device_params())
+        y, self._ring, self._y_state, rounds = self._gen_cache[key](
+            self._device_params(), self._spec_prep, np.array([0]),
+            cond, sel, self._ring, self._y_state)
+        return y, rounds
+
+    def score_device(self, cond_chunk, y_chunk):
+        """Teacher-forced scoring of a KNOWN symbol window, continuing the
+        stream: returns the DEVICE per-step probability sequence [T, B, A]
+        and advances the carried generation state exactly as if the engine
+        had GENERATED y_chunk (score->generate handoffs are exact, so a
+        serving loop can interleave scoring and generation freely).
+
+        Computed by the TIME-PARALLEL scorer (ops/score_parallel): teacher
+        forcing has no sequential dependence, so the window batches through
+        [T*B, C] MXU matmuls — orders of magnitude faster than the
+        sequential forced mode, with bit-identical per-step math (the
+        canonical order).  Call `begin_stream` first; y_chunk [T, B] (or
+        [B, T] via score()).  Under a temperature transform the returned p
+        is the TEMPERED distribution, like the kernels' forced mode.  No
+        reference analog: the reference can only score via its training
+        model from t=0 (`pytorch/wavenet.py:102-145`); this scores
+        mid-stream from any generation state."""
+        assert self.mesh is None, (
+            "score_device: single-process engines only (shard the batch "
+            "by engine instance for multi-chip scoring)")
+        assert self._stream_t is not None, (
+            "call begin_stream(batch_size) first")
+        B = self._stream_batch
+        T, L, Bc, C = cond_chunk.shape
+        assert Bc == B and L == self.cfg.num_layers and C == 2 * self.cfg.R
+        key = ("score", T, B)
+        if key not in self._feed_cache:
+            from nv_wavenet_tpu.ops import score_parallel
+            scorer = score_parallel.make_parallel_scorer(
+                self.cfg, B, compute_dtype=self.compute_dtype,
+                prefold_cond=True)
+
+            def f(params, dil_b, cond, y, ring, y_state, t0s):
+                cond_pre = (jnp.asarray(cond, jnp.float32)
+                            + dil_b[None, :, None, :])
+                return scorer(params, t0s[:1], cond_pre, y, ring, y_state)
+
+            self._feed_cache[key] = jax.jit(f, donate_argnums=(4, 5))
+        out = self._feed_cache[key](
+            self._device_params(), self._dil_b_folded(), cond_chunk,
+            jnp.asarray(y_chunk, jnp.int32), self._ring, self._y_state,
+            np.asarray([self._stream_t, 0], np.int32))
+        p_seq, self._ring, self._y_state = out
+        self._stream_t += T
+        return p_seq
+
+    def score(self, cond_chunk, y_chunk) -> np.ndarray:
+        """`score_device` with host readout and reference-style batch-major
+        symbols: y_chunk [B, T] int32 -> p_seq [B, T, A] numpy."""
+        p = self.score_device(cond_chunk, np.asarray(y_chunk).T)
+        return np.transpose(np.asarray(p), (1, 0, 2))
 
     def run_chunks(self, chunk_size: int, consume: Callable, num_samples: int,
                    batch_size: int, mode: str = "sample",

@@ -97,58 +97,32 @@ def score_teacher_forced_parallel(params: Dict, cfg: WaveNetConfig, cond,
     """`score_teacher_forced` with the time dimension fully parallel.
 
     Teacher forcing has no sequential dependence (every input symbol is
-    given), so scoring needs none of the autoregressive machinery: each
-    dilated lookback is a static time-shift of the layer-input sequence, and
-    every per-step matmul batches over all T-1 steps at once ([T*B, C] MXU
+    given), so scoring needs none of the autoregressive machinery: every
+    per-step matmul batches over all T-1 steps at once ([T*B, C] MXU
     matmuls — the same shape as the training forward, ~2L+3 big matmuls
-    total instead of (T-1)*(2L+3) small sequential ones).  The per-step math
-    follows the canonical order (models/golden.py), so results match the
-    sequential scorers to float-reassociation tolerance (~1e-5), verified by
-    tests/test_scoring.py.
+    total instead of (T-1)*(2L+3) small sequential ones).  Delegates to
+    `ops/score_parallel.make_parallel_scorer` — the ring-state-aware core
+    whose per-step math is the CANONICAL order (models/golden.py), so the
+    per-step probabilities match the sequential forced mode exactly
+    (tests/test_score_parallel.py); log-probabilities here are resolved via
+    log_softmax on the logits (tail-safe, unlike fp32 p).
 
     A capability with no reference analog: the reference can only score by
     running its training model (`pytorch/wavenet.py:102-145`); here the
     ENGINE-format params score directly, at training-forward speed.
     """
+    from nv_wavenet_tpu.ops import persistent, score_parallel
+
     B, T = audio.shape
     Tm = T - 1
-    R, A = cfg.R, cfg.A
-    hi = jax.lax.Precision.HIGHEST
     y = jnp.asarray(audio, jnp.int32)
-    y_cur = y[:, :Tm].T                                       # [Tm, B]
-    y_prev = jnp.concatenate(
-        [jnp.full((1, B), cfg.silence_bin, jnp.int32), y[:, :Tm - 1].T], 0)
-    embed = jnp.asarray(params["embed"], jnp.float32)         # [2A, R]
-    x = embed[y_prev] + embed[A + y_cur]                      # [Tm, B, R]
-    if cfg.tanh_embed:
-        x = jnp.tanh(x)
-
-    def mm(a, w):   # [Tm, B, K] x [K, N] on the MXU
-        return jnp.dot(a.reshape(-1, a.shape[-1]), w, precision=hi,
-                       preferred_element_type=jnp.float32
-                       ).reshape(a.shape[0], a.shape[1], -1)
-
-    dil_w = jnp.asarray(params["dil_w"], jnp.float32)
-    dil_b = jnp.asarray(params["dil_b"], jnp.float32)
-    rs_w = jnp.asarray(params["rs_w"], jnp.float32)
-    rs_b = jnp.asarray(params["rs_b"], jnp.float32)
-    cond = jnp.asarray(cond[:Tm], jnp.float32)                # [Tm, L, B, 2R]
-    skip = jnp.zeros((Tm, B, cfg.S), jnp.float32)
-    for l, d in enumerate(cfg.dilations):
-        # dilated lookback = static shift; zeros before t=d match the ring's
-        # zero initial state (`nv_wavenet_reference.cpp:287`)
-        x_prev = jnp.pad(x, ((d, 0), (0, 0), (0, 0)))[:Tm]
-        z = mm(jnp.concatenate([x_prev, x], -1), dil_w[l])
-        z = z + (dil_b[l] + cond[:, l])
-        h = jnp.tanh(z[..., :R]) * jax.nn.sigmoid(z[..., R:])
-        rs = mm(h, rs_w[l])
-        x = (rs[..., :R] + rs_b[l, :R]) + x
-        skip = (skip + rs[..., R:]) + rs_b[l, R:]
-    skip = jnp.maximum(skip, 0.0)
-    zs = jnp.maximum(mm(skip, jnp.asarray(params["out_w"], jnp.float32))
-                     + jnp.asarray(params["out_b"], jnp.float32), 0.0)
-    za = (mm(zs, jnp.asarray(params["end_w"], jnp.float32))
-          + jnp.asarray(params["end_b"], jnp.float32))
+    scorer = score_parallel.make_parallel_scorer(cfg, B, return_za=True)
+    ring = persistent.init_ring(cfg, B)
+    y_state = jnp.stack([jnp.full((B,), cfg.silence_bin, jnp.int32),
+                         y[:, 0]])
+    _, _, _, za = scorer(params, jnp.zeros((1,), jnp.int32),
+                         jnp.asarray(cond[:Tm], jnp.float32),
+                         y[:, 1:].T, ring, y_state)
     logp_all = jax.nn.log_softmax(za, axis=-1)                # [Tm, B, A]
     targets = y[:, 1:].T[..., None]
     logp = jnp.take_along_axis(logp_all, targets, axis=-1)[..., 0].T

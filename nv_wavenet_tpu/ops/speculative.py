@@ -1,0 +1,156 @@
+"""Speculative EXACT decode: the exact-match contract's output, faster than
+the exact kernel, by drafting with the collapsed-chain fast kernel and
+verifying with the time-parallel exact scorer.
+
+The exact-match contract (BASELINE.md, `nv_wavenet_test.cu:302-304`) makes
+sampling DETERMINISTIC given the injected selector stream: step t's output
+is y*_t = select(p_t, sel_t) with p_t the exact fp32 distribution.  That
+determinism is what speculative decoding needs:
+
+  1. DRAFT a K-step window with the fused fast kernel (ops/fused_chain,
+     fast_math — ~1.3-2x the exact kernel's rate, TV ~5e-3 from exact)
+     using the SAME injected selectors the exact kernel would consume,
+  2. VERIFY the window in ONE time-parallel pass of the exact scorer
+     (ops/score_parallel): teacher-forcing the drafted symbols yields every
+     step's EXACT p_t ([K*B, C] MXU matmuls — cheap next to the draft),
+     from which the exact choices y*_t = select(p_t, sel_t) follow,
+  3. COMMIT the longest prefix where draft == exact plus the first
+     correction token (y*_t at the first disagreement IS what the exact
+     kernel would have emitted, because positions <= t were exact), via the
+     scorer's n_valid state commit.  Repeat from there.
+
+The output is therefore BIT-IDENTICAL to the exact kernel's, by
+construction, for every selector stream — not distribution-close: the
+draft only decides how much verification work is wasted.  Expected steps
+per round ~ 1/flip_rate where flip_rate = P(selector lands inside the
+draft-vs-exact probability gap) ~ the draft tier's TV (~5e-3 measured) —
+so windows commit nearly whole and the rate approaches the draft tier's.
+
+No reference analog (the reference has no fast decode to draft with); the
+TPU-idiomatic structure is one jitted `lax.while_loop` whose body runs the
+draft Pallas kernel, the XLA verify pass and the state commit entirely
+on-device — zero host round trips until the final fetch.
+
+This is a LATENCY-tier feature: disagreements are per-(step, row), and a
+whole batch commits in lockstep at the first disagreement of ANY row, so
+the speedup decays with batch (b=1 loses ~TV per step, b=16 ~16*TV).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.ops import fused_chain, score_parallel
+
+
+def select_window(p_seq: jax.Array, sel: jax.Array, A: int,
+                  silence_bin: int) -> jax.Array:
+    """Vectorized inverse-CDF selection over a window: p_seq [T, B, A],
+    sel [T, B] -> y [T, B] int32.  Same fixed Hillis-Steele prefix-sum
+    association as `persistent.fixed_tree_select` / golden
+    `cumsum_fixed_tree` (the shifts run along the last axis, so each row's
+    add sequence is identical), hence bit-identical selections."""
+    cum = p_seq
+    k = 1
+    while k < A:
+        cum = cum + jnp.pad(cum, ((0, 0), (0, 0), (k, 0)))[..., :-k]
+        k *= 2
+    idx = jnp.sum((cum <= sel[..., None]).astype(jnp.int32), axis=-1)
+    return jnp.where(idx < A, idx, silence_bin).astype(jnp.int32)
+
+
+def make_speculative_generator(cfg: WaveNetConfig, batch: int, window: int,
+                               draft_fast_math: bool = True,
+                               draft_compute_dtype=jnp.float32,
+                               draft_pack_gates: bool = False,
+                               interpret: bool = False):
+    """Build `generate(params, folded, t0, cond, sel, ring, y_state)` ->
+    (y [T, B] int32, ring', y_state', rounds).
+
+    params: canonical dict (exact verify path); folded: the draft kernel's
+    pre-folded operand tuple from `fused_chain.prepare_weights(params, cfg,
+    prefold_cond=False, pack_gates=draft_pack_gates)` — computed once per
+    weight upload by callers.  cond [T, L, B, 2R] raw (NOT prefolded),
+    sel [T, B] injected selectors, ring/y_state as the other generators.
+    T must be >= 1; `window` = K is the draft length per round.
+
+    Output contract: y bit-equals the exact persistent kernel's sample-mode
+    output for the same inputs (tests/test_speculative.py), and ring'/
+    y_state' bit-equal its carried state — chunked calls compose.  `rounds`
+    is the number of draft-verify rounds taken (T / rounds ~ the average
+    committed run length; the efficiency diagnostic).
+    """
+    K = window
+    B = batch
+    A = cfg.A
+
+    draft_gen = fused_chain.make_fused_generator(
+        cfg, batch, K, mode="sample", fast_math=draft_fast_math,
+        compute_dtype=draft_compute_dtype, prefold_cond=False,
+        pack_gates=draft_pack_gates, interpret=interpret)
+    scorer = score_parallel.make_parallel_scorer(cfg, batch,
+                                                 prefold_cond=False)
+
+    def generate(params: Dict, folded, t0, cond, sel, ring, y_state):
+        T = cond.shape[0]
+        t0 = jnp.asarray(t0, jnp.int32).reshape(())
+        # pad so the final round's K-slice never clamps; drafted steps past
+        # T are discarded and the commit clamps state to exactly T steps
+        cond_p = jnp.pad(jnp.asarray(cond, jnp.float32),
+                         ((0, K), (0, 0), (0, 0), (0, 0)))
+        sel_p = jnp.pad(jnp.asarray(sel, jnp.float32), ((0, K), (0, 0)))
+        out0 = jnp.zeros((T + K, B), jnp.int32)
+
+        def cond_fn(c):
+            return c[1] < T
+
+        def body(c):
+            t_rel, n_out, ring, ys, out, rounds = c
+            t_abs = t0 + t_rel
+            cond_k = jax.lax.dynamic_slice_in_dim(cond_p, t_rel, K, axis=0)
+            sel_k = jax.lax.dynamic_slice_in_dim(sel_p, t_rel, K, axis=0)
+
+            y_d, _, _ = draft_gen(folded, t_abs[None], cond_k, sel_k,
+                                  ring, ys)                       # [K, B]
+            p_seq, ring_v, ys_v = scorer(params, t_abs, cond_k, y_d,
+                                         ring, ys)
+            y_ex = select_window(p_seq, sel_k, A, cfg.silence_bin)
+            # the committed window is y_ex itself: where the draft agreed
+            # y_ex == y_d, and at the first disagreement y_ex IS the exact
+            # kernel's choice (all inputs to step t are exact for t <= first)
+            agree = jnp.all(y_d == y_ex, axis=1)                  # [K]
+            any_dis = jnp.logical_not(jnp.all(agree))
+            first = jnp.argmax(jnp.logical_not(agree))            # 0 if none
+            n_emit = jnp.where(any_dis, first + 1, K)
+            n_emit = jnp.minimum(n_emit, T - n_out)
+
+            full = jnp.logical_and(jnp.logical_not(any_dis), n_emit == K)
+
+            def fast(_):
+                # whole window committed: the verify pass's state IS the
+                # state after K steps of the exact trajectory
+                return ring_v, ys_v
+
+            def slow(_):
+                # partial commit: re-run the scorer's state path over the
+                # exact window, clamped at n_emit (activations at positions
+                # < n_emit only depend on symbols before them)
+                _, r2, y2 = scorer(params, t_abs, cond_k, y_ex, ring, ys,
+                                   n_valid=n_emit)
+                return r2, y2
+
+            ring2, ys2 = jax.lax.cond(full, fast, slow, None)
+            out = jax.lax.dynamic_update_slice(out, y_ex, (n_out, 0))
+            return (t_rel + n_emit, n_out + n_emit, ring2, ys2, out,
+                    rounds + 1)
+
+        init = (jnp.int32(0), jnp.int32(0), ring, y_state, out0,
+                jnp.int32(0))
+        _, _, ring, ys, out, rounds = jax.lax.while_loop(cond_fn, body, init)
+        return out[:T], ring, ys, rounds
+
+    return generate

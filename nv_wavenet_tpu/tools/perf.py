@@ -50,7 +50,7 @@ import numpy as np
 # rate" workflow (`README.md:58-66`) can actually surface the fastest
 # configuration (fused+fast_math) rather than only the exact kernels
 SWEEP_MODES_ALL = ("persistent", "manyblock", "fused", "fused_pack",
-                   "fused_fast")
+                   "fused_fast", "speculative")
 
 
 def build_engine(args, impl, batch, chunk, mode=None):
@@ -89,9 +89,11 @@ def device_inputs(args, T, batch):
     return cond, sel
 
 
-def measure(eng, T, batch, iters, sampling):
+def measure(eng, T, batch, iters, sampling, mode=None, spec_window=64):
     """Tunnel-proof rate measurement: back-to-back device runs, one tiny
     forced tail fetch per run (see bench.py / CLAUDE.md)."""
+    if mode == "speculative":
+        return measure_speculative(eng, T, batch, iters, spec_window)
     # warmup/compile (tail fetch forces execution; a full host fetch of y is
     # deliberately avoided — tunnel bandwidth varies wildly)
     tail = np.asarray(eng.run_device(T, batch, mode=sampling)[-1])
@@ -101,6 +103,22 @@ def measure(eng, T, batch, iters, sampling):
              for _ in range(iters)]
     for tl in tails:
         np.asarray(tl)
+    return iters * T / (time.time() - t0) / 1e3
+
+
+def measure_speculative(eng, T, batch, iters, window):
+    """Speculative exact decode: same tail-fetch methodology; also reports
+    the measured average committed run length (T / rounds)."""
+    y, rounds = eng._run_speculative_device(T, batch, window)
+    np.asarray(y[-1])
+    print(f"  speculative window={window}: {int(rounds)} rounds, "
+          f"avg committed run {T / max(int(rounds), 1):.1f} samples",
+          flush=True)
+    t0 = time.time()
+    outs = [eng._run_speculative_device(T, batch, window)
+            for _ in range(iters)]
+    for y, _ in outs:
+        np.asarray(y[-1])
     return iters * T / (time.time() - t0) / 1e3
 
 
@@ -120,7 +138,8 @@ def run_single(args, impl_map):
         params_lib.random_reference_weights(eng.cfg, seed=1))
     cond, sel = device_inputs(args, args.samples, args.batch)
     eng.set_inputs(cond, sel)
-    rate = measure(eng, args.samples, args.batch, args.iters, args.sampling)
+    rate = measure(eng, args.samples, args.batch, args.iters, args.sampling,
+                   mode=args.mode, spec_window=args.spec_window)
     print(f"Sample rate: {rate:.2f} kHz", flush=True)
     print(json.dumps({"khz_per_utterance": round(rate, 2),
                       "khz_total": round(rate * args.batch, 1),
@@ -161,7 +180,8 @@ def run_sweep(args, impl_map):
                 eng.set_reference_weights(ref_w)
                 eng.set_inputs(cond, sel)
                 try:
-                    rate = measure(eng, T, batch, args.iters, args.sampling)
+                    rate = measure(eng, T, batch, args.iters, args.sampling,
+                                   mode=mode, spec_window=args.spec_window)
                 except Exception as e:   # report, keep sweeping (ref parity:
                     # unsupported configs print and continue)
                     print(f"  mode={mode:10s} b={batch:<3d} c={chunk:<4d} "
@@ -201,7 +221,11 @@ def main():
     ap.add_argument("-m", "--mode", default="auto",
                     choices=["auto", "single", "dual", "persistent",
                              "manyblock", "fused", "fused_pack",
-                             "fused_fast"])
+                             "fused_fast", "speculative"])
+    ap.add_argument("--spec_window", type=int, default=64,
+                    help="speculative exact decode: draft window K (mode "
+                         "speculative — bit-exact contract output drafted "
+                         "by the fused fast kernel, ops/speculative.py)")
     ap.add_argument("-p", "--precision", type=int, default=32,
                     choices=[16, 32])
     ap.add_argument("--compute", type=int, default=32, choices=[16, 32])
@@ -250,7 +274,8 @@ def main():
     impl_map = {"auto": Impl.AUTO, "single": Impl.SINGLE_BLOCK,
                 "dual": Impl.DUAL_BLOCK, "persistent": Impl.PERSISTENT,
                 "manyblock": Impl.MANYBLOCK, "fused": Impl.PERSISTENT,
-                "fused_pack": Impl.PERSISTENT, "fused_fast": Impl.PERSISTENT}
+                "fused_pack": Impl.PERSISTENT, "fused_fast": Impl.PERSISTENT,
+                "speculative": Impl.PERSISTENT}
     if args.sweep:
         run_sweep(args, impl_map)
     else:

@@ -6,8 +6,9 @@ Covers: ragged run_chunks exact-match, MANYBLOCK (HBM-streaming kernel) vs
 PERSISTENT identity, bf16-weights cross-impl identity, dump-mode p
 normalization, int8 weight-streaming exactness, fused-chain TV contract,
 reset_utterances (continuous batching), set_temperature patch-path
-identity, and streaming feed parity — every public serving mutation
-compiled on hardware.
+identity, streaming feed parity (single-dispatch fast path), the
+time-parallel scorer's mid-stream handoff, and speculative exact decode's
+bit-match — every public serving mutation compiled on hardware.
 """
 import argparse
 import time
@@ -179,7 +180,8 @@ def main(argv=None):
     print(f"set_temperature patch-path identity + T=1 exactness OK "
           f"({time.time() - t0:.0f}s)", flush=True)
 
-    # streaming feed parity (ragged chunks over the same conditioning)
+    # streaming feed parity (ragged chunks over the same conditioning;
+    # exercises the single-dispatch feed fast path)
     eng.begin_stream(B)
     outs, off = [], 0
     for n in (13, 6, 13):
@@ -188,6 +190,36 @@ def main(argv=None):
     yf = np.concatenate(outs, axis=1)
     assert np.array_equal(yf, y_gold), "feed parity mismatch"
     print("streaming feed exact-match OK", flush=True)
+
+    # time-parallel scorer ON CHIP: score the golden trajectory mid-stream
+    # (prefix scored, suffix generated) — the handoff must stay bit-exact
+    # and the scored distributions must match the golden forced run
+    t0 = time.time()
+    es = make(Impl.AUTO)
+    es.begin_stream(B)
+    p_s = es.score(cond[:T1], y_gold[:, :T1])                # [B, T1, A]
+    y_tail = es.feed(cond[T1:], sel[T1:])
+    assert np.array_equal(y_tail, y_gold[:, T1:]), (
+        "scorer state handoff diverged")
+    gold.set_inputs(cond, sel)          # reset the oracle's symbol state
+    gold.run(T1, B, mode="forced", forced_y=y_gold[:, :T1])
+    dp = np.abs(np.transpose(p_s, (1, 0, 2)) - gold.get_p_seq()).max()
+    assert dp < 1e-5, f"scorer p vs golden forced: max |dp| {dp:.2e}"
+    print(f"time-parallel scorer exact handoff OK (max |dp| {dp:.1e}, "
+          f"{time.time() - t0:.0f}s incl. compile)", flush=True)
+
+    # speculative exact decode ON CHIP: drafted by the fused fast kernel,
+    # verified/corrected by the exact scorer — output must BIT-MATCH the
+    # exact run for the same selectors (the defining property)
+    t0 = time.time()
+    esp = make(Impl.PERSISTENT)
+    y_spec = esp.run_speculative(T, B, window=8)
+    assert np.array_equal(y_spec, y_gold), (
+        f"speculative decode mismatch "
+        f"(agreement {np.mean(y_spec == y_gold):.3f})")
+    print(f"speculative exact decode bit-match OK ({esp.spec_rounds} rounds "
+          f"for {T} samples, {time.time() - t0:.0f}s incl. compile)",
+          flush=True)
 
     # error surfaces
     try:

@@ -57,3 +57,14 @@ def test_perf_fused_mode(capsys):
     assert "Sample rate:" in out
     rec = json.loads(out.strip().splitlines()[-1])
     assert rec["mode"] == "fused" and rec["khz_per_utterance"] > 0
+
+
+def test_perf_speculative_mode(capsys):
+    """-m speculative routes through the speculative exact decoder and
+    reports the rounds diagnostic."""
+    out = run_cli(capsys, TINY + ["-b", "1", "-m", "speculative", "-c", "8",
+                                  "--spec_window", "8"])
+    rec = json.loads([ln for ln in out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rec["mode"] == "speculative" and rec["khz_per_utterance"] > 0
+    assert "avg committed run" in out

@@ -1,0 +1,137 @@
+"""Speculative exact decode (ops/speculative): the output must BIT-EQUAL
+the exact path's sample-mode output for every selector stream — the draft
+quality only affects speed, never the result.  The exact reference here is
+the XLA scan generator (itself exact-matched to the golden model and the
+Pallas kernel by the contract suite)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.models import params as params_lib
+from nv_wavenet_tpu.ops import (fused_chain, persistent, scan_generate,
+                                score_parallel, speculative)
+
+CFG = WaveNetConfig(num_layers=6, R=32, S=128, A=256, max_dilation=4)
+
+
+def case(cfg, B, T, seed=11):
+    rng = np.random.RandomState(seed)
+    ref_w = params_lib.random_reference_weights(
+        cfg, seed=seed, scale=1.0 / np.sqrt(cfg.R))
+    params = {k: jnp.asarray(v)
+              for k, v in params_lib.to_canonical(ref_w, cfg).items()}
+    cond = rng.uniform(-1, 1, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+    return params, cond, sel
+
+
+def exact_reference(cfg, params, cond, sel):
+    B = sel.shape[1]
+    st = scan_generate.init_state(cfg, B)
+    st, y, _ = scan_generate.generate(params, st, jnp.asarray(cond),
+                                      jnp.asarray(sel), cfg)
+    return np.asarray(y).T, st                                 # y [T, B]
+
+
+def run_spec(cfg, params, cond, sel, K, folded_params=None, B=None,
+             chunks=None):
+    B = sel.shape[1] if B is None else B
+    gen = speculative.make_speculative_generator(cfg, B, K, interpret=True)
+    folded = fused_chain.prepare_weights(
+        folded_params if folded_params is not None else params,
+        cfg, prefold_cond=False)
+    ring = persistent.init_ring(cfg, B)
+    ys = jnp.full((2, B), cfg.silence_bin, jnp.int32)
+    if chunks is None:
+        chunks = [sel.shape[0]]
+    outs, t0, total_rounds = [], 0, 0
+    for n in chunks:
+        y, ring, ys, rounds = gen(params, folded, np.array([t0]),
+                                  jnp.asarray(cond[t0:t0 + n]),
+                                  jnp.asarray(sel[t0:t0 + n]), ring, ys)
+        outs.append(np.asarray(y))
+        total_rounds += int(rounds)
+        t0 += n
+    return np.concatenate(outs, axis=0), ring, ys, total_rounds
+
+
+def test_speculative_equals_exact():
+    B, T, K = 1, 48, 8
+    params, cond, sel = case(CFG, B, T)
+    y_ref, _ = exact_reference(CFG, params, cond, sel)
+    y, _, ys, rounds = run_spec(CFG, params, cond, sel, K)
+    assert np.array_equal(y, y_ref)
+    assert np.array_equal(np.asarray(ys)[1], y_ref[-1])
+    # the fp32 fused draft should agree almost always -> near-minimal rounds
+    assert rounds <= T // K + 2, rounds
+
+
+def test_speculative_exact_even_with_garbage_draft():
+    """The defining property: a BAD draft only costs rounds, never
+    correctness — every round commits at least the exact correction
+    token."""
+    B, T, K = 2, 30, 8
+    params, cond, sel = case(CFG, B, T, seed=3)
+    y_ref, _ = exact_reference(CFG, params, cond, sel)
+    bad = dict(params)
+    bad["rs_w"] = params["rs_w"] + 0.5    # draft net computes nonsense
+    y, _, _, rounds = run_spec(CFG, params, cond, sel, K, folded_params=bad)
+    assert np.array_equal(y, y_ref)
+    assert rounds > T // K, rounds        # corrections actually happened
+
+
+def test_speculative_state_carry_and_chunking():
+    """Chunked speculative calls == one exact run (carried ring/y_state),
+    including a window larger than a chunk."""
+    B, T, K = 3, 41, 16
+    params, cond, sel = case(CFG, B, T, seed=29)
+    y_ref, _ = exact_reference(CFG, params, cond, sel)
+    y, ring, ys, _ = run_spec(CFG, params, cond, sel, K,
+                              chunks=[10, 1, 30])
+    assert np.array_equal(y, y_ref)
+    # carried state must continue generation exactly: one more exact step
+    gen = persistent.make_persistent_generator(CFG, B, 8, interpret=True)
+    cond2 = np.random.RandomState(7).uniform(
+        -1, 1, (8, CFG.num_layers, B, 2 * CFG.R)).astype(np.float32)
+    sel2 = np.random.RandomState(8).uniform(0, 1, (8, B)).astype(np.float32)
+    y2, _, _ = gen(params, np.array([T]), jnp.asarray(cond2),
+                   jnp.asarray(sel2), ring, ys, n_valid=8)
+    # reference: scan over the concatenated stream
+    st = scan_generate.init_state(CFG, B)
+    _, y_all, _ = scan_generate.generate(
+        params, st, jnp.asarray(np.concatenate([cond, cond2])),
+        jnp.asarray(np.concatenate([sel, sel2])), CFG)
+    assert np.array_equal(np.asarray(y2), np.asarray(y_all).T[T:])
+
+
+def test_engine_run_speculative_bitmatches_run():
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+
+    B, T = 2, 40
+    ref_w = params_lib.random_reference_weights(
+        CFG, seed=77, scale=1.0 / np.sqrt(CFG.R))
+    rng = np.random.RandomState(4)
+    cond = rng.uniform(-1, 1, (T, CFG.num_layers, B, 2 * CFG.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+    eng = WaveNetInfer(num_layers=CFG.num_layers,
+                       max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                       A=CFG.A, max_batch=B, implementation=Impl.PERSISTENT,
+                       chunk_size=8)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, sel)
+    y_exact = eng.run(T, B)
+    y_spec = eng.run_speculative(T, B, window=8)
+    assert np.array_equal(y_spec, y_exact)
+    assert eng.spec_rounds >= 1
+
+
+def test_speculative_window_exceeds_T():
+    B, T, K = 1, 10, 16
+    params, cond, sel = case(CFG, B, T, seed=5)
+    y_ref, _ = exact_reference(CFG, params, cond, sel)
+    y, _, _, _ = run_spec(CFG, params, cond, sel, K)
+    assert np.array_equal(y, y_ref)

@@ -87,6 +87,63 @@ def run_config(name, cfg, batch, T, chunk, impl, mode, weight_dtype,
     return rec
 
 
+def run_speculative_row(name, cfg, batch, T, window,
+                        check_golden_samples=0):
+    """Speculative exact decode row: same tunnel-proof timing; the golden
+    check asserts the defining BIT-MATCH property on a prefix."""
+    import jax
+    import jax.numpy as jnp
+
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+    from nv_wavenet_tpu.models import params as params_lib
+    from nv_wavenet_tpu.models.golden import WaveNetGolden
+
+    eng = WaveNetInfer(num_layers=cfg.num_layers,
+                       max_dilation=cfg.max_dilation, R=cfg.R, S=cfg.S,
+                       A=cfg.A, max_batch=batch,
+                       implementation=Impl.PERSISTENT, chunk_size=256)
+    ref_w = params_lib.random_reference_weights(cfg, seed=1)
+    eng.set_reference_weights(ref_w)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    cond = jax.random.uniform(k1, (T, cfg.num_layers, batch, 2 * cfg.R),
+                              jnp.float32, -0.5, 0.5)
+    sel = jax.random.uniform(k2, (T, batch), jnp.float32)
+    eng.set_inputs(cond, sel)
+
+    exact = None
+    if check_golden_samples:
+        n = check_golden_samples
+        cond_h, sel_h = np.asarray(cond[:n]), np.asarray(sel[:n])
+        golden = WaveNetGolden(cfg, batch, n)
+        golden.set_reference_weights(ref_w)
+        golden.set_inputs(cond_h, sel_h)
+        y_gold = golden.run(n, batch)
+        eng.set_inputs(cond_h, sel_h)
+        exact = bool(np.array_equal(eng.run_speculative(n, batch, window),
+                                    y_gold))
+        eng.set_inputs(cond, sel)
+
+    y, rounds = eng._run_speculative_device(T, batch, window)
+    np.asarray(y[-1])
+    avg_run = T / max(int(rounds), 1)
+    iters = 3
+    t0 = time.time()
+    outs = [eng._run_speculative_device(T, batch, window)
+            for _ in range(iters)]
+    for y, _ in outs:
+        np.asarray(y[-1])
+    best = iters * T / (time.time() - t0) / 1e3
+    rec = {"config": name, "impl": "SPECULATIVE", "khz_per_utt":
+           round(best, 2), "khz_total": round(best * batch, 1),
+           "batch": batch, "samples": T, "weight_dtype": "float32",
+           "compute": "fp32", "fast_math": False, "fused": False,
+           "spec_window": window, "avg_committed_run": round(avg_run, 1)}
+    if exact is not None:
+        rec["exact_match_vs_golden"] = exact
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 def main():
     from nv_wavenet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -157,6 +214,14 @@ def main():
     recs.append(run_config("5i_flagship_fused_pack_fast_math", flagship, 16,
                            T, 256, Impl.PERSISTENT, "sample", jnp.float32,
                            fast_math=True, fuse_chain=True, fuse_pack=True))
+    # speculative EXACT decode (ops/speculative.py): bit-exact contract
+    # output drafted by the fused fast kernel; latency tier — the whole
+    # batch commits in lockstep, so b=1 is its habitat and the b=16 row
+    # documents the decay honestly
+    recs.append(run_speculative_row("5j_flagship_speculative_b1", flagship,
+                                    1, T, 64, check_golden_samples=g))
+    recs.append(run_speculative_row("5k_flagship_speculative_b16", flagship,
+                                    16, T, 64))
     print(json.dumps({"all": recs}, indent=1))
 
 

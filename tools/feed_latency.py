@@ -46,8 +46,12 @@ def measure(tier, chunk_samples, ref_w, kernel_chunk=256):
                                 (K + 2, chunk_samples, L, B, 2 * R),
                                 jnp.float32, -0.5, 0.5)
     chunks = [jnp.asarray(chunks[i]) for i in range(K + 2)]
-    sels = [np.random.RandomState(i).uniform(0, 1, (chunk_samples, B))
-            .astype(np.float32) for i in range(K + 2)]
+    # selectors pre-staged on device too: a host sel array per feed is a
+    # per-call host->device upload inside the timed loop (RTT-bound over
+    # the tunnel, not a property of the chip)
+    sels = [jnp.asarray(np.random.RandomState(i)
+                        .uniform(0, 1, (chunk_samples, B))
+                        .astype(np.float32)) for i in range(K + 2)]
 
     eng.begin_stream(B)
     # warmup/compile (two feeds: first-call + steady-state shapes)
