@@ -614,9 +614,10 @@ class WaveNetInfer:
         exact kernel; a caller-requested fast_math stays."""
         return self.fast_math and not (dump and self._fast_math_from_priority)
 
-    def _persistent_gen(self, batch, mode, dump, stream=False):
-        chunk = self._effective_chunk(batch, stream, dump,
-                                      forced=(mode == "forced"))
+    def _persistent_gen(self, batch, mode, dump, stream=False, chunk=None):
+        if chunk is None:
+            chunk = self._effective_chunk(batch, stream, dump,
+                                          forced=(mode == "forced"))
         fused = self._fuse_active(batch, stream, dump,
                                   forced=(mode == "forced"))
         quant = bool(self.stream_quant) and stream
@@ -874,9 +875,13 @@ class WaveNetInfer:
         fused = self._fuse_active(B, stream, False, forced=(mode == "forced"))
         chunk = self._effective_chunk(B, stream, False,
                                       forced=(mode == "forced"))
+        # clamp the kernel chunk to the feed size: a 40-sample feed must not
+        # pad to a 256-step grid iteration (5/6 of the steps would be masked
+        # no-ops the sequential fori still walks through)
+        chunk = min(chunk, -(-T // 8) * 8)
         key = ("feed", T, B, mode, stream, fused, chunk)
         if key not in self._feed_cache:
-            gen = self._persistent_gen(B, mode, False, stream)
+            gen = self._persistent_gen(B, mode, False, stream, chunk=chunk)
             pad = (-T) % chunk
 
             def f(params, dil_b, cond, sel, ring, y_state, t0s):

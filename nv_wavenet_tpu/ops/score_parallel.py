@@ -109,9 +109,13 @@ def make_parallel_scorer(cfg: WaveNetConfig, batch: int,
             d = dils[l]
             q = lane_slots[l] * R
             # history: x^l at times t0-d .. t0-1 lives at ring slot
-            # p_offs[l] + (time mod d); time t0-d+i has residue (t0+i) mod d
-            slots = p_offs[l] + (t0 + jnp.arange(d, dtype=jnp.int32)) % d
-            hist = ring[slots, :, q:q + R].astype(compute_dtype)  # [d, B, R]
+            # p_offs[l] + (time mod d) — layer l's FIFO is the CONTIGUOUS
+            # row block [p_offs[l], p_offs[l]+d), just rotated by t0 mod d,
+            # so a static slice + jnp.roll replaces a row gather (a traced
+            # row-index gather lowers to a per-row dynamic-slice loop on
+            # TPU — measured ~ms per scorer call at maxD=512)
+            block = ring[p_offs[l]:p_offs[l] + d, :, q:q + R]
+            hist = jnp.roll(block, -(t0 % d), axis=0).astype(compute_dtype)
             x_full = jnp.concatenate([hist, x], axis=0)        # [d+T, B, R]
             x_prev = x_full[:T]                                # x^l_{t-d}
             if return_xt:
@@ -119,11 +123,13 @@ def make_parallel_scorer(cfg: WaveNetConfig, batch: int,
             # write-back: the d most recent COMMITTED values (times
             # t0+nv-d..t0+nv-1 = x_full[nv:nv+d]) land at their residue
             # slots — exactly the state the sequential kernel leaves after
-            # nv steps (entries before the window rewrite unchanged history)
-            wslots = p_offs[l] + (t0 + nv + jnp.arange(d, dtype=jnp.int32)) % d
-            ring = ring.at[wslots, :, q:q + R].set(
-                jax.lax.dynamic_slice_in_dim(x_full, nv, d, axis=0
-                                             ).astype(ring.dtype))
+            # nv steps (entries before the window rewrite unchanged
+            # history).  Slot i must hold x_last[(i - (t0+nv)) mod d]: a
+            # forward roll + static-slice update (scatter-free, see above).
+            x_last = jax.lax.dynamic_slice_in_dim(x_full, nv, d, axis=0)
+            new_block = jnp.roll(x_last, (t0 + nv) % d, axis=0)
+            ring = ring.at[p_offs[l]:p_offs[l] + d, :, q:q + R].set(
+                new_block.astype(ring.dtype))
             # canonical split dilated GEMM: (z_prev + z_cur) + (Bh + cond)
             z = (_dot(x_prev.reshape(T * B, R),
                       dil_w[l, :R].astype(compute_dtype), precision)

@@ -75,8 +75,11 @@ def make_chain(B, R, D, T, precision, gate=True, groups=1):
     )
 
 
-def measure(label, B=16, R=64, D=43, T=2048, precision="highest", gate=True,
+def measure(label, B=16, R=64, D=43, T=16384, precision="highest", gate=True,
             groups=1, iters=3):
+    # T sized so one run is >= ~100 ms of chain compute: with ~40 ms of
+    # tunnel RTT per forced fetch, short runs over-report ns/stage badly
+    # (the round-4 first cut used T=2048 and read ~3x high)
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     run = jax.jit(make_chain(B, R, D, T, prec, gate, groups))
@@ -87,8 +90,10 @@ def measure(label, B=16, R=64, D=43, T=2048, precision="highest", gate=True,
     np.asarray(run(w, x)[0, 0, 0])                      # compile + warm
     t0 = time.time()
     outs = [run(w, x) for _ in range(iters)]
-    for o in outs:
-        np.asarray(o[0, 0, 0])
+    # the device executes dispatches in order, so fetching only the LAST
+    # run's output forces all of them with ONE tunnel round trip (~40 ms),
+    # amortized over iters*T*D stages (~19 ns/stage at the defaults)
+    np.asarray(outs[-1][0, 0, 0])
     dt = (time.time() - t0) / iters
     ns = dt / (T * D) * 1e9
     agg = ns / groups
