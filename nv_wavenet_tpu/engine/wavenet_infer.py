@@ -904,7 +904,7 @@ class WaveNetInfer:
         return y[:T]
 
     def run_speculative(self, num_samples: int, batch_size: int,
-                        window: int = 64) -> np.ndarray:
+                        window: int = 256) -> np.ndarray:
         """Exact-contract sampling via SPECULATIVE EXACT DECODE
         (ops/speculative): draft `window` steps with the fused fast kernel,
         verify them in one time-parallel pass of the exact scorer, commit
@@ -915,14 +915,17 @@ class WaveNetInfer:
         disagreement of any row, so speedup decays with batch; use
         batch_size=1 (or small) where single-stream rate matters.
         `spec_rounds` afterwards holds the number of draft-verify rounds
-        (num_samples/spec_rounds ~ average committed run length)."""
+        (num_samples/spec_rounds ~ average committed run length).
+        The default window=256 is the measured b=1 flagship optimum
+        (126.5 kHz/utt vs 115.5 exact, BASELINE.md speculative table);
+        below ~128 the per-round verify/commit overhead dominates."""
         y, rounds = self._run_speculative_device(num_samples, batch_size,
                                                  window)
         self.spec_rounds = int(rounds)
         return np.asarray(y).T
 
     def _run_speculative_device(self, num_samples: int, batch_size: int,
-                                window: int = 64):
+                                window: int = 256):
         """`run_speculative` without host readout: returns DEVICE
         (y [T, B], rounds) — perf harnesses tail-fetch y themselves."""
         assert self._cond is not None, "set_inputs must be called first"

@@ -89,7 +89,7 @@ def device_inputs(args, T, batch):
     return cond, sel
 
 
-def measure(eng, T, batch, iters, sampling, mode=None, spec_window=64):
+def measure(eng, T, batch, iters, sampling, mode=None, spec_window=256):
     """Tunnel-proof rate measurement: back-to-back device runs, one tiny
     forced tail fetch per run (see bench.py / CLAUDE.md)."""
     if mode == "speculative":
@@ -222,10 +222,11 @@ def main():
                     choices=["auto", "single", "dual", "persistent",
                              "manyblock", "fused", "fused_pack",
                              "fused_fast", "speculative"])
-    ap.add_argument("--spec_window", type=int, default=64,
+    ap.add_argument("--spec_window", type=int, default=256,
                     help="speculative exact decode: draft window K (mode "
                          "speculative — bit-exact contract output drafted "
-                         "by the fused fast kernel, ops/speculative.py)")
+                         "by the fused fast kernel, ops/speculative.py); "
+                         "256 is the measured b=1 flagship optimum")
     ap.add_argument("-p", "--precision", type=int, default=32,
                     choices=[16, 32])
     ap.add_argument("--compute", type=int, default=32, choices=[16, 32])

@@ -219,7 +219,7 @@ def main():
     # batch commits in lockstep, so b=1 is its habitat and the b=16 row
     # documents the decay honestly
     recs.append(run_speculative_row("5j_flagship_speculative_b1", flagship,
-                                    1, T, 64, check_golden_samples=g))
+                                    1, T, 256, check_golden_samples=g))
     recs.append(run_speculative_row("5k_flagship_speculative_b16", flagship,
                                     16, T, 64))
     print(json.dumps({"all": recs}, indent=1))
