@@ -90,6 +90,8 @@ if __name__ == "__main__":
     ref_w = params_lib.random_reference_weights(cfg, seed=1)
     print(f"flagship {L}L {R}R/{S}S/{A}A maxD={MAXD} b={B}, "
           f"{K} pipelined feeds per measurement", flush=True)
-    for chunk_samples in (40, 160, 640):
+    sizes = ([int(a) for a in sys.argv[1:]] if len(sys.argv) > 1
+             else (40, 160, 640))
+    for chunk_samples in sizes:
         for tier in ("exact", "latency"):
             measure(tier, chunk_samples, ref_w)
