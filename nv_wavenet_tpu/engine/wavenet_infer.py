@@ -210,6 +210,11 @@ class WaveNetInfer:
         self._warned_fuse_vmem = False
         self._gen_cache: Dict = {}
         self._feed_cache: Dict = {}
+        # per-(T,B,stream,forced) feed plan (fused?, chunk): the VMEM-plan
+        # walk costs ~50 us per call, on the per-feed serving hot path; its
+        # inputs (cfg, weight dtype, vmem budget, fuse flags, chunk_size)
+        # are all constructor-fixed, so the plan is engine-immutable
+        self._feed_plan: Dict = {}
         self._stream_t: Optional[int] = None  # begin_stream/feed cursor
 
     # ------------------------------------------------------------------
@@ -872,13 +877,18 @@ class WaveNetInfer:
         the staged-sharding dispatch."""
         T = int(sel.shape[0]) if hasattr(sel, "shape") else len(sel)
         stream = impl == Impl.MANYBLOCK
-        fused = self._fuse_active(B, stream, False, forced=(mode == "forced"))
-        chunk = self._effective_chunk(B, stream, False,
-                                      forced=(mode == "forced"))
-        # clamp the kernel chunk to the feed size: a 40-sample feed must not
-        # pad to a 256-step grid iteration (5/6 of the steps would be masked
-        # no-ops the sequential fori still walks through)
-        chunk = min(chunk, -(-T // 8) * 8)
+        pk = (T, B, mode, stream)
+        plan = self._feed_plan.get(pk)
+        if plan is None:
+            forced = mode == "forced"
+            fused = self._fuse_active(B, stream, False, forced=forced)
+            # clamp the kernel chunk to the feed size: a 40-sample feed must
+            # not pad to a 256-step grid iteration (5/6 of the steps would be
+            # masked no-ops the sequential fori still walks through)
+            chunk = min(self._effective_chunk(B, stream, False, forced=forced),
+                        -(-T // 8) * 8)
+            plan = self._feed_plan[pk] = (fused, chunk)
+        fused, chunk = plan
         key = ("feed", T, B, mode, stream, fused, chunk)
         if key not in self._feed_cache:
             gen = self._persistent_gen(B, mode, False, stream, chunk=chunk)
@@ -892,8 +902,12 @@ class WaveNetInfer:
                     cond_pre = jnp.pad(
                         cond_pre, ((0, pad), (0, 0), (0, 0), (0, 0)))
                     sel = jnp.pad(sel, ((0, pad), (0, 0)))
-                return gen(params, t0s[:1], cond_pre, sel, ring, y_state,
-                           n_valid=T, seed=t0s[1])
+                out = gen(params, t0s[:1], cond_pre, sel, ring, y_state,
+                          n_valid=T, seed=t0s[1])
+                # trim padding INSIDE the jit: a host-side y[:T] dispatches
+                # an extra tiny slice executable per feed (measured on the
+                # per-feed serving hot path)
+                return (out[0][:T],) + tuple(out[1:])
 
             self._feed_cache[key] = jax.jit(f, donate_argnums=(4, 5))
         params = self._fused_weights() if fused else self._device_params()
@@ -901,7 +915,7 @@ class WaveNetInfer:
             params, self._dil_b_folded(), cond, sel, self._ring,
             self._y_state, np.asarray([t0, self.sampling_seed], np.int32))
         y, self._ring, self._y_state = out[0], out[1], out[2]
-        return y[:T]
+        return y
 
     def run_speculative(self, num_samples: int, batch_size: int,
                         window: int = 256) -> np.ndarray:
