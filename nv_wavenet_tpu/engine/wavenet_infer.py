@@ -840,6 +840,10 @@ class WaveNetInfer:
         T, L, Bc, C = cond_chunk.shape
         assert (Bc * self._n_proc() == B and L == self.cfg.num_layers
                 and C == 2 * self.cfg.R)
+        if T == 0:
+            # a frontend may legitimately produce no frames this tick; the
+            # kernel grid (and the feed chunk clamp) need T >= 1
+            return jnp.zeros((0, Bc), jnp.int32)
         if selectors_chunk is None:
             if mode == "sample":
                 pidx = jax.process_index() if self.mesh is not None else 0
@@ -924,7 +928,10 @@ class WaveNetInfer:
         verify them in one time-parallel pass of the exact scorer, commit
         the agreeing prefix + the exact correction token.  The returned
         samples BIT-MATCH `run(num_samples, batch_size)` (mode="sample",
-        injected selectors) — the draft only affects speed.  A latency-tier
+        injected selectors) — the draft only affects speed.  Defined for
+        the DETERMINISTIC decode tiers only (exact fp32 and bf16 weights);
+        raises ValueError on fast_math / fuse_chain / priority="latency" /
+        bf16-compute engines, whose run() is TV-bounded.  A latency-tier
         feature: the whole batch commits in lockstep at the first
         disagreement of any row, so speedup decays with batch; use
         batch_size=1 (or small) where single-stream rate matters.
@@ -944,9 +951,23 @@ class WaveNetInfer:
         (y [T, B], rounds) — perf harnesses tail-fetch y themselves."""
         assert self._cond is not None, "set_inputs must be called first"
         assert self.mesh is None, "speculative decode: single-process only"
+        # the bit-match-vs-run() contract requires run() itself to be on a
+        # DETERMINISTIC path: the exact kernel, or the bf16-weights tier
+        # (rounded storage, canonical fp32 compute).  fast_math / fuse_chain
+        # (incl. priority="latency") / bf16 compute make run() TV-bounded —
+        # no drafted+verified sequence can bit-match those.
+        if self.fast_math or self.fuse_chain or self.compute_dtype != jnp.float32:
+            raise ValueError(
+                "run_speculative requires a deterministic engine decode "
+                "path (no fast_math / fuse_chain / priority='latency' / "
+                "bf16 compute) — its output bit-matches run(), which is "
+                "only defined for the exact and bf16-weights tiers")
         B = batch_size
         sel = self._selectors[:num_samples, :B]
         cond = self._cond[:num_samples, :, :B]
+        assert sel.shape[0] == num_samples and cond.shape[0] == num_samples, (
+            f"set_inputs holds {cond.shape[0]} steps of conditioning; "
+            f"cannot generate {num_samples}")
         self._reset_state(B)
         key = ("spec", num_samples, B, window)
         if key not in self._gen_cache:
@@ -960,9 +981,13 @@ class WaveNetInfer:
             self._spec_prep = jax.jit(
                 lambda p: fused_chain.prepare_weights(p, self.cfg, False)
             )(self._device_params())
+        # verify-path params in the engine's WEIGHT dtype: the scorer
+        # upcasts storage to fp32 (exact), so bf16-weights engines verify
+        # with the same rounded weights their kernels compute with and the
+        # bit-match-vs-run() contract extends to that deterministic tier
         y, self._ring, self._y_state, rounds = self._gen_cache[key](
-            self._device_params(), self._spec_prep, np.array([0]),
-            cond, sel, self._ring, self._y_state)
+            self._device_params(self.weight_dtype), self._spec_prep,
+            np.array([0]), cond, sel, self._ring, self._y_state)
         return y, rounds
 
     def score_device(self, cond_chunk, y_chunk):
@@ -1003,10 +1028,14 @@ class WaveNetInfer:
                 return scorer(params, t0s[:1], cond_pre, y, ring, y_state)
 
             self._feed_cache[key] = jax.jit(f, donate_argnums=(4, 5))
+        # weight-dtype'd params: the scorer upcasts storage to fp32, so a
+        # bf16-weights engine's carried ring/y_state is computed with the
+        # SAME rounded weights its generation kernels use — without this the
+        # score->feed handoff silently diverges on that (deterministic) tier
         out = self._feed_cache[key](
-            self._device_params(), self._dil_b_folded(), cond_chunk,
-            jnp.asarray(y_chunk, jnp.int32), self._ring, self._y_state,
-            np.asarray([self._stream_t, 0], np.int32))
+            self._device_params(self.weight_dtype), self._dil_b_folded(),
+            cond_chunk, jnp.asarray(y_chunk, jnp.int32), self._ring,
+            self._y_state, np.asarray([self._stream_t, 0], np.int32))
         p_seq, self._ring, self._y_state = out
         self._stream_t += T
         return p_seq

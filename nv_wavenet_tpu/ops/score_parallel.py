@@ -175,6 +175,48 @@ def make_parallel_scorer(cfg: WaveNetConfig, batch: int,
     return score
 
 
+def make_state_committer(cfg: WaveNetConfig):
+    """Build `commit(ring, xt, y, y_state, t0, nv)` -> (ring', y_state'):
+    the carried state after committing the first `nv` steps of a window the
+    scorer ALREADY evaluated — from its `return_xt` activations, without a
+    second scorer pass (the layer GEMMs are the cost; the state write-back
+    below is the same roll math as the scorer's, on data already computed).
+
+    Correctness: position j's activations depend only on symbols emitted
+    BEFORE j, and a speculative commit point nv satisfies "drafted symbols
+    at positions < nv-1 equal the exact ones" — so xt[l][:nv] (computed
+    under the drafted window) IS the exact trajectory's layer-l input for
+    the committed prefix, and the assembled ring bit-equals what a scorer
+    pass over the corrected window with n_valid=nv would write
+    (tests/test_speculative.py exercises every disagreement pattern).
+
+    ring: pre-window ring state; xt: [>=L, T, B, R] from the scorer's
+    return_xt; y: [T, B] the corrected window symbols; y_state: [2, B]
+    pre-window; t0 scalar; nv traced scalar in [1, T]."""
+    L, R = cfg.num_layers, cfg.R
+    dils = cfg.dilations
+    _, _, p_offs, lane_slots = cfg.packed_ring_plan()
+
+    def commit(ring, xt, y, y_state, t0, nv):
+        t0 = jnp.asarray(t0, jnp.int32).reshape(())
+        nv = jnp.asarray(nv, jnp.int32).reshape(())
+        for l in range(L):
+            d = dils[l]
+            q = lane_slots[l] * R
+            block = ring[p_offs[l]:p_offs[l] + d, :, q:q + R]
+            hist = jnp.roll(block, -(t0 % d), axis=0)
+            x_full = jnp.concatenate(
+                [hist, xt[l].astype(ring.dtype)], axis=0)      # [d+T, B, R]
+            x_last = jax.lax.dynamic_slice_in_dim(x_full, nv, d, axis=0)
+            new_block = jnp.roll(x_last, (t0 + nv) % d, axis=0)
+            ring = ring.at[p_offs[l]:p_offs[l] + d, :, q:q + R].set(new_block)
+        y_full = jnp.concatenate([y_state, jnp.asarray(y, jnp.int32)], axis=0)
+        y_state_out = jax.lax.dynamic_slice_in_dim(y_full, nv, 2, axis=0)
+        return ring, y_state_out
+
+    return commit
+
+
 def bits_per_sample(p_seq: jax.Array, y: jax.Array) -> jax.Array:
     """Teacher-forced negative log2-likelihood per step: p_seq [T, B, A]
     (from `make_parallel_scorer`), y [T, B] int32 — returns [T, B] bits.

@@ -45,22 +45,21 @@ import jax.numpy as jnp
 
 from nv_wavenet_tpu.config import WaveNetConfig
 from nv_wavenet_tpu.ops import fused_chain, score_parallel
+from nv_wavenet_tpu.ops.persistent import fixed_tree_select
 
 
 def select_window(p_seq: jax.Array, sel: jax.Array, A: int,
                   silence_bin: int) -> jax.Array:
     """Vectorized inverse-CDF selection over a window: p_seq [T, B, A],
-    sel [T, B] -> y [T, B] int32.  Same fixed Hillis-Steele prefix-sum
-    association as `persistent.fixed_tree_select` / golden
-    `cumsum_fixed_tree` (the shifts run along the last axis, so each row's
-    add sequence is identical), hence bit-identical selections."""
-    cum = p_seq
-    k = 1
-    while k < A:
-        cum = cum + jnp.pad(cum, ((0, 0), (0, 0), (k, 0)))[..., :-k]
-        k *= 2
-    idx = jnp.sum((cum <= sel[..., None]).astype(jnp.int32), axis=-1)
-    return jnp.where(idx < A, idx, silence_bin).astype(jnp.int32)
+    sel [T, B] -> y [T, B] int32.  Delegates to the ONE contract-critical
+    sampler (`persistent.fixed_tree_select`): its prefix-sum shifts run
+    along the last axis, so rows of the [T*B, A] reshape see the identical
+    per-row add sequence as the per-step kernels — bit-identical selections
+    with a single implementation to keep in float-association lockstep."""
+    T, B = sel.shape
+    return fixed_tree_select(p_seq.reshape(T * B, A),
+                             sel.reshape(T * B, 1), A,
+                             silence_bin).reshape(T, B)
 
 
 def make_speculative_generator(cfg: WaveNetConfig, batch: int, window: int,
@@ -93,7 +92,9 @@ def make_speculative_generator(cfg: WaveNetConfig, batch: int, window: int,
         compute_dtype=draft_compute_dtype, prefold_cond=False,
         pack_gates=draft_pack_gates, interpret=interpret)
     scorer = score_parallel.make_parallel_scorer(cfg, batch,
-                                                 prefold_cond=False)
+                                                 prefold_cond=False,
+                                                 return_xt=True)
+    committer = score_parallel.make_state_committer(cfg)
 
     def generate(params: Dict, folded, t0, cond, sel, ring, y_state):
         T = cond.shape[0]
@@ -116,8 +117,8 @@ def make_speculative_generator(cfg: WaveNetConfig, batch: int, window: int,
 
             y_d, _, _ = draft_gen(folded, t_abs[None], cond_k, sel_k,
                                   ring, ys)                       # [K, B]
-            p_seq, ring_v, ys_v = scorer(params, t_abs, cond_k, y_d,
-                                         ring, ys)
+            p_seq, ring_v, ys_v, xt = scorer(params, t_abs, cond_k, y_d,
+                                             ring, ys)
             y_ex = select_window(p_seq, sel_k, A, cfg.silence_bin)
             # the committed window is y_ex itself: where the draft agreed
             # y_ex == y_d, and at the first disagreement y_ex IS the exact
@@ -136,12 +137,12 @@ def make_speculative_generator(cfg: WaveNetConfig, batch: int, window: int,
                 return ring_v, ys_v
 
             def slow(_):
-                # partial commit: re-run the scorer's state path over the
-                # exact window, clamped at n_emit (activations at positions
-                # < n_emit only depend on symbols before them)
-                _, r2, y2 = scorer(params, t_abs, cond_k, y_ex, ring, ys,
-                                   n_valid=n_emit)
-                return r2, y2
+                # partial commit: assemble the state at n_emit from the
+                # verify pass's OWN activations (activations at positions
+                # < n_emit only depend on symbols before them, which the
+                # draft got right) — no second scorer pass; the layer GEMMs
+                # were the dominant per-round cost at batch
+                return committer(ring, xt, y_ex, ys, t_abs, n_emit)
 
             ring2, ys2 = jax.lax.cond(full, fast, slow, None)
             out = jax.lax.dynamic_update_slice(out, y_ex, (n_out, 0))

@@ -93,6 +93,13 @@ def measure(eng, T, batch, iters, sampling, mode=None, spec_window=256):
     """Tunnel-proof rate measurement: back-to-back device runs, one tiny
     forced tail fetch per run (see bench.py / CLAUDE.md)."""
     if mode == "speculative":
+        if sampling != "sample":
+            # ValueError (not SystemExit) so --sweep's per-config exception
+            # net reports it as FAILED and keeps sweeping
+            raise ValueError(
+                f"-m speculative measures sampling mode 'sample' only "
+                f"(speculative decode drafts/verifies sampled trajectories; "
+                f"--sampling {sampling} would be mislabeled)")
         return measure_speculative(eng, T, batch, iters, spec_window)
     # warmup/compile (tail fetch forces execution; a full host fetch of y is
     # deliberately avoided — tunnel bandwidth varies wildly)

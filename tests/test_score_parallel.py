@@ -206,3 +206,57 @@ def test_bits_per_sample_uniform():
                          jnp.asarray(y), ring, ys)
     bits = score_parallel.bits_per_sample(p_seq, jnp.asarray(y))
     assert np.abs(np.asarray(bits).mean() - 8.0) < 0.3
+
+
+def test_engine_score_handoff_bf16_weights():
+    """score->feed handoff on the DETERMINISTIC bf16-weights tier: the
+    scorer must compute the carried ring/y_state with the engine's
+    weight-dtype-ROUNDED params (the same weights the bf16 kernels use),
+    or the post-score feed diverges from an all-feed stream."""
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+
+    B, T1, T2 = 2, 11, 13
+    _, ref_w, cond, sel, _ = case(CFG, B, T1 + T2, seed=91)
+
+    def make():
+        eng = WaveNetInfer(num_layers=CFG.num_layers,
+                           max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                           A=CFG.A, max_batch=B,
+                           implementation=Impl.PERSISTENT, chunk_size=8,
+                           weight_dtype=jnp.bfloat16)
+        eng.set_reference_weights(ref_w)
+        eng.begin_stream(B)
+        return eng
+
+    eng = make()
+    y1 = eng.feed(cond[:T1], sel[:T1])
+    y2 = eng.feed(cond[T1:], sel[T1:])
+
+    eng2 = make()
+    eng2.score(cond[:T1], y1)
+    y2b = eng2.feed(cond[T1:], sel[T1:])
+    assert np.array_equal(y2b, y2)
+
+
+def test_engine_feed_empty_chunk():
+    """A frontend may produce zero frames in a tick: feed must return an
+    empty [B, 0] and leave the stream state untouched."""
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+
+    B, T = 2, 12
+    _, ref_w, cond, sel, _ = case(CFG, B, T, seed=23)
+    eng = WaveNetInfer(num_layers=CFG.num_layers,
+                       max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                       A=CFG.A, max_batch=B, implementation=Impl.PERSISTENT,
+                       chunk_size=8)
+    eng.set_reference_weights(ref_w)
+    eng.begin_stream(B)
+    y1 = eng.feed(cond[:6], sel[:6])
+    y_empty = eng.feed(cond[:0], sel[:0])
+    assert y_empty.shape == (B, 0)
+    y2 = eng.feed(cond[6:], sel[6:])
+
+    eng.begin_stream(B)
+    y1b = eng.feed(cond[:6], sel[:6])
+    y2b = eng.feed(cond[6:], sel[6:])
+    assert np.array_equal(y1, y1b) and np.array_equal(y2, y2b)

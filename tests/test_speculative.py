@@ -135,3 +135,76 @@ def test_speculative_window_exceeds_T():
     y_ref, _ = exact_reference(CFG, params, cond, sel)
     y, _, _, _ = run_spec(CFG, params, cond, sel, K)
     assert np.array_equal(y, y_ref)
+
+
+def test_engine_run_speculative_bf16_weights_bitmatches_run():
+    """The bit-match contract extends to the deterministic bf16-weights
+    tier: the verify scorer receives the engine's weight-dtype-rounded
+    params, so it computes with the SAME weights the bf16 kernel does."""
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+
+    B, T = 2, 32
+    ref_w = params_lib.random_reference_weights(
+        CFG, seed=13, scale=1.0 / np.sqrt(CFG.R))
+    rng = np.random.RandomState(6)
+    cond = rng.uniform(-1, 1, (T, CFG.num_layers, B, 2 * CFG.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+    eng = WaveNetInfer(num_layers=CFG.num_layers,
+                       max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                       A=CFG.A, max_batch=B, implementation=Impl.PERSISTENT,
+                       chunk_size=8, weight_dtype=jnp.bfloat16)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, sel)
+    y_exact = eng.run(T, B)
+    eng.set_inputs(cond, sel)
+    y_spec = eng.run_speculative(T, B, window=8)
+    assert np.array_equal(y_spec, y_exact)
+
+
+def test_engine_run_speculative_rejects_tv_bounded_engines():
+    """run_speculative's contract is bit-match-vs-run(): undefined when
+    run() itself is TV-bounded (fast_math / fuse_chain / priority)."""
+    import pytest
+
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+
+    B, T = 1, 16
+    ref_w = params_lib.random_reference_weights(
+        CFG, seed=13, scale=1.0 / np.sqrt(CFG.R))
+    rng = np.random.RandomState(6)
+    cond = rng.uniform(-1, 1, (T, CFG.num_layers, B, 2 * CFG.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+    for kw in ({"fast_math": True}, {"fuse_chain": True},
+               {"priority": "latency"}):
+        eng = WaveNetInfer(num_layers=CFG.num_layers,
+                           max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                           A=CFG.A, max_batch=B,
+                           implementation=Impl.PERSISTENT, chunk_size=8,
+                           **kw)
+        eng.set_reference_weights(ref_w)
+        eng.set_inputs(cond, sel)
+        with pytest.raises(ValueError, match="deterministic"):
+            eng.run_speculative(T, B, window=8)
+
+
+def test_engine_run_speculative_rejects_overlength_request():
+    from nv_wavenet_tpu.engine.wavenet_infer import Impl, WaveNetInfer
+
+    B, T = 1, 16
+    ref_w = params_lib.random_reference_weights(
+        CFG, seed=13, scale=1.0 / np.sqrt(CFG.R))
+    rng = np.random.RandomState(6)
+    cond = rng.uniform(-1, 1, (T, CFG.num_layers, B, 2 * CFG.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+    eng = WaveNetInfer(num_layers=CFG.num_layers,
+                       max_dilation=CFG.max_dilation, R=CFG.R, S=CFG.S,
+                       A=CFG.A, max_batch=B, implementation=Impl.PERSISTENT,
+                       chunk_size=8)
+    eng.set_reference_weights(ref_w)
+    eng.set_inputs(cond, sel)
+    import pytest
+    with pytest.raises(AssertionError, match="conditioning"):
+        eng.run_speculative(2 * T, B, window=8)
