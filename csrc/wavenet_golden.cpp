@@ -16,6 +16,12 @@
 #include <cstring>
 #include <vector>
 
+#include "exact_math.h"
+
+using exact_math::em_exp;
+using exact_math::em_sigmoid;
+using exact_math::em_tanh;
+
 namespace {
 
 struct WaveNetCtx {
@@ -123,7 +129,7 @@ void wn_run(void* p, int T, int B, const float* cond, const float* sel,
       const float* ec = c->embed.data() + (size_t)(A + c->y_cur[b]) * R;
       for (int i = 0; i < R; i++) {
         float v = ep[i] + ec[i];
-        x[i] = c->tanh_embed ? std::tanh(v) : v;
+        x[i] = c->tanh_embed ? em_tanh(v) : v;
       }
       std::fill(skip.begin(), skip.end(), 0.f);
 
@@ -146,8 +152,11 @@ void wn_run(void* p, int T, int B, const float* cond, const float* sel,
         matvec_acc(x.data(), wl + (size_t)R * 2 * R, zc.data(), R, 2 * R);
         for (int j = 0; j < 2 * R; j++)
           z[j] = (zp[j] + zc[j]) + (bb[j] + cb[j]);
+        // canonical gated activation: the bit-identical polynomial
+        // tanh/sigmoid shared by all implementations (csrc/exact_math.h ==
+        // ops/exact_math.py); division-free, FMA-free
         for (int j = 0; j < R; j++)
-          h[j] = std::tanh(z[j]) * (1.f / (1.f + std::exp(-z[R + j])));
+          h[j] = em_tanh(z[j]) * em_sigmoid(z[R + j]);
 
         std::fill(rs.begin(), rs.end(), 0.f);
         matvec_acc(h.data(), c->rs_w.data() + (size_t)l * R * (R + S),
@@ -170,24 +179,23 @@ void wn_run(void* p, int T, int B, const float* cond, const float* sel,
         for (int j = 1; j < A; j++)
           if (za[j] > za[y]) y = j;
       } else {
+        // Canonical sampler (ops/exact_math.py::sample_from_logits):
+        // stable-softmax inverse-CDF with the UNNORMALIZED-sum comparison
+        // (the reference's own semantics, softmax.cuh:150-189) — e =
+        // em_exp(za - max), FIXED Hillis-Steele prefix tree (the identical
+        // sequence of fp32 adds as the numpy golden and the Pallas
+        // kernel), pick the first bin with sel*sum < cum; fallback to the
+        // configured silence bin on scan failure (softmax.cuh:155).  No
+        // division anywhere (TPU fp32 divide is not correctly rounded).
         float m = za[0];
         for (int j = 1; j < A; j++) m = za[j] > m ? za[j] : m;
-        float sum = 0.f;
-        for (int j = 0; j < A; j++) { prob[j] = std::exp(za[j] - m); sum += prob[j]; }
-        float s_sel = sel[(size_t)s * B + b];
-        // first bin whose cumulative probability exceeds the selector;
-        // fallback to the configured silence bin on scan failure
-        // (softmax.cuh:155 semantics; matches golden.select_sample).
-        // The prefix sum uses the FIXED Hillis-Steele association tree —
-        // the identical sequence of fp32 adds as the numpy golden and the
-        // Pallas kernel, so sampled integers are bit-identical (see
-        // models/golden.py::cumsum_fixed_tree).
-        for (int j = 0; j < A; j++) prob[j] = prob[j] / sum;
+        for (int j = 0; j < A; j++) prob[j] = em_exp(za[j] - m);
         for (int k = 1; k < A; k <<= 1)
           for (int j = A - 1; j >= k; j--) prob[j] += prob[j - k];
+        float thr = sel[(size_t)s * B + b] * prob[A - 1];
         y = c->silence_bin;
         for (int j = 0; j < A; j++)
-          if (s_sel < prob[j]) { y = j; break; }
+          if (thr < prob[j]) { y = j; break; }
       }
       c->y_prev[b] = c->y_cur[b];
       c->y_cur[b] = y;
@@ -198,5 +206,17 @@ void wn_run(void* p, int T, int B, const float* cond, const float* sel,
 }
 
 int wn_ring_size(void* p) { return static_cast<WaveNetCtx*>(p)->ring_size; }
+
+// Vectorized exports of the canonical transcendentals, for the
+// cross-implementation bit-identity tests (tests/test_exact_math.py).
+void wn_exact_exp(const float* x, float* y, int n) {
+  for (int i = 0; i < n; i++) y[i] = em_exp(x[i]);
+}
+void wn_exact_tanh(const float* x, float* y, int n) {
+  for (int i = 0; i < n; i++) y[i] = em_tanh(x[i]);
+}
+void wn_exact_sigmoid(const float* x, float* y, int n) {
+  for (int i = 0; i < n; i++) y[i] = em_sigmoid(x[i]);
+}
 
 }  // extern "C"

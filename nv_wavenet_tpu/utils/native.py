@@ -25,19 +25,30 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def _build_lib(src: str, lib: str, opt: str) -> str:
-    """Build `src` -> `lib`, keyed on a CONTENT hash of the source (not
-    mtimes: on a fresh clone a stale committed binary and the source share
-    checkout time, so an mtime check would silently load the wrong build)."""
+    """Build `src` -> `lib`, keyed on a CONTENT hash of the source AND every
+    sibling header it includes (not mtimes: on a fresh clone a stale
+    committed binary and the source share checkout time, so an mtime check
+    would silently load the wrong build).
+
+    -ffp-contract=off is REQUIRED for the exact-match contract: GCC may
+    otherwise contract mul+add chains into FMAs, changing the rounding of
+    the canonical transcendentals (csrc/exact_math.h) relative to the
+    numpy/XLA/Mosaic implementations."""
     import hashlib
 
     os.makedirs(os.path.dirname(lib), exist_ok=True)
-    digest = hashlib.sha256(open(src, "rb").read()).hexdigest()
+    h = hashlib.sha256(open(src, "rb").read())
+    src_dir = os.path.dirname(src)
+    for header in sorted(f for f in os.listdir(src_dir) if f.endswith(".h")):
+        h.update(open(os.path.join(src_dir, header), "rb").read())
+    digest = h.hexdigest()
     stamp = lib + ".sha256"
     up_to_date = (os.path.exists(lib) and os.path.exists(stamp)
                   and open(stamp).read().strip() == digest)
     if not up_to_date:
         subprocess.run(
-            ["g++", opt, "-shared", "-fPIC", "-std=c++17", src, "-o", lib],
+            ["g++", opt, "-ffp-contract=off", "-shared", "-fPIC",
+             "-std=c++17", src, "-o", lib],
             check=True, capture_output=True)
         with open(stamp, "w") as f:
             f.write(digest)
@@ -63,8 +74,21 @@ def load() -> ctypes.CDLL:
                                f32p, f32p, ctypes.c_int, i32p]
         lib.wn_ring_size.restype = ctypes.c_int
         lib.wn_ring_size.argtypes = [ctypes.c_void_p]
+        for fn in ("wn_exact_exp", "wn_exact_tanh", "wn_exact_sigmoid"):
+            getattr(lib, fn).argtypes = [f32p, f32p, ctypes.c_int]
         _lib = lib
     return _lib
+
+
+def exact_fn_native(name: str, x: np.ndarray) -> np.ndarray:
+    """Apply the C++ canonical transcendental ('exp'|'tanh'|'sigmoid')
+    elementwise — the oracle side of tests/test_exact_math.py's
+    cross-implementation bit-identity checks."""
+    lib = load()
+    x = np.ascontiguousarray(x, np.float32).ravel()
+    y = np.zeros_like(x)
+    getattr(lib, f"wn_exact_{name}")(_fp(x), _fp(y), len(x))
+    return y
 
 
 def available() -> bool:
