@@ -27,6 +27,15 @@ generator and the Pallas kernel follow the identical order so integer
 outputs can match the golden model exactly.  Relative to the reference C++
 oracle this reorders float additions, which is within the reference's own
 cross-implementation tolerance ladder (`nv_wavenet_test.cu:259-298`).
+
+NOTE on transcendentals and sampling (round 5): tanh/sigmoid/exp use the
+bit-identical polynomial library (ops/exact_math.py — the same fp32 bits on
+numpy, C++, XLA and Mosaic), and sampling uses the canonical division-free
+UNNORMALIZED-sum comparison (the reference's own semantics,
+`softmax.cuh:150-189`): first bin with sel * sum(e) < fixed-tree-cumsum(e).
+Together these make the exact-match contract structural at ANY horizon
+(previously transcendental lowerings and TPU's non-correctly-rounded fp32
+divide flipped ~1e-5/sample beyond ~16k draws).
 """
 
 from __future__ import annotations
@@ -37,51 +46,22 @@ import numpy as np
 
 from nv_wavenet_tpu.config import WaveNetConfig
 from nv_wavenet_tpu.models import params as params_lib
+from nv_wavenet_tpu.ops import exact_math as em
+
+# canonical fixed-association prefix sum (see exact_math.fixed_tree_cumsum)
+cumsum_fixed_tree = em.fixed_tree_cumsum_np
 
 
-def _sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+def select_sample(za: np.ndarray, sel: np.ndarray, fallback: int) -> np.ndarray:
+    """Canonical inverse-CDF draw from LOGITS: first bin where
+    sel * sum(e) < fixed-tree-cumsum(e), e = exp(za - max) — mirroring the
+    reference's unnormalized-sum comparison (`softmax.cuh:150-189`) with its
+    fallback value on scan failure (`softmax.cuh:155`).  Division-free (TPU
+    fp32 divide is not correctly rounded; see ops/exact_math.py).
 
-
-def _softmax(x):
-    m = np.max(x, axis=-1, keepdims=True)
-    e = np.exp(x - m)
-    return e / np.sum(e, axis=-1, keepdims=True)
-
-
-def cumsum_fixed_tree(p: np.ndarray) -> np.ndarray:
-    """Inclusive prefix sum with a FIXED association tree (Hillis–Steele:
-    log2(A) rounds of shift-and-add).  Every implementation — this numpy
-    golden, the C++ oracle, the XLA scan generator, and the Pallas kernel —
-    performs the IDENTICAL sequence of fp32 adds, so the prefix sums are
-    bit-identical across platforms.  A sequential np.cumsum vs. an MXU
-    matmul-with-triangular-ones differ in summation order by ~1 ulp, which
-    flips a sampled integer whenever a selector lands inside the gap
-    (~3e-5/sample) — a probabilistic, scale-dependent violation of the
-    exact-match contract this formulation eliminates."""
-    x = np.asarray(p, np.float32)
-    A = x.shape[-1]
-    k = 1
-    while k < A:
-        sh = np.zeros_like(x)
-        sh[..., k:] = x[..., :-k]
-        x = x + sh
-        k *= 2
-    return x
-
-
-def select_sample(p: np.ndarray, sel: np.ndarray, fallback: int) -> np.ndarray:
-    """Inverse-CDF draw: first bin where sel < cumsum(p), mirroring
-    `nv_wavenet_reference.cpp:106-121` with the CUDA kernel's fallback value
-    when the scan fails (`softmax.cuh:155`).
-
-    p: [B, A] normalized probabilities; sel: [B] uniforms in [0, 1).
-    Implemented as count of fixed-tree-cumsum entries <= sel (= index of the
-    first bin whose cumulative mass exceeds sel) — the same formulation and
-    float association all compute paths use."""
-    cum = cumsum_fixed_tree(p)
-    idx = np.sum(cum <= sel[:, None], axis=-1)
-    return np.where(idx < p.shape[-1], idx, fallback).astype(np.int32)
+    za: [B, A] logits; sel: [B] uniforms in [0, 1)."""
+    return em.sample_from_logits_np(za, np.asarray(sel, np.float32)[:, None],
+                                    fallback)
 
 
 class WaveNetGolden:
@@ -209,7 +189,7 @@ class WaveNetGolden:
         for s in range(init_sample, init_sample + num_samples):
             x = self._embed_prev[self._y_prev] + self._embed_cur[self._y_cur]
             if cfg.tanh_embed:
-                x = np.tanh(x)
+                x = em.tanh_np(x)
             skip = np.zeros((B, S), np.float32)
             for l in range(L):
                 self._hist[s, l] = x
@@ -219,7 +199,7 @@ class WaveNetGolden:
                 # canonical split dilated GEMM: (z_prev + z_cur) + (Bh+cond)
                 z = ((x_prev @ self._Wdil[l, :R] + x @ self._Wdil[l, R:])
                      + (self._Bh[l] + self._cond[s, l, :B]))
-                h = np.tanh(z[:, :R]) * _sigmoid(z[:, R:])
+                h = em.tanh_np(z[:, :R]) * em.sigmoid_np(z[:, R:])
                 x = (h @ self._Wres[l] + self._Bres[l]) + x
                 skip = (skip + h @ self._Wskip[l]) + self._Bskip[l]
                 self._xt_out[l, :B] = x
@@ -229,7 +209,8 @@ class WaveNetGolden:
             self._skip_out[L - 1, :B] = skip
             zs = np.maximum(skip @ self._Wzs + self._Bzs, 0.0)
             za = zs @ self._Wza + self._Bza
-            p = _softmax(za)
+            e, cum = em.softmax_cumsum_np(za)
+            p = em.softmax_p_np(e, cum)
             self._zs[:B], self._za[:B], self._p[:B] = zs, za, p
             if mode == "argmax":
                 y = np.argmax(za, axis=-1).astype(np.int32)
@@ -237,7 +218,8 @@ class WaveNetGolden:
                 self._p_seq[s - init_sample] = p
                 y = forced_y[:, s - init_sample].astype(np.int32)
             else:
-                y = select_sample(p, self._selectors[s, :B], cfg.silence_bin)
+                y = em.select_from_cumsum_np(
+                    cum, self._selectors[s, :B][:, None], A, cfg.silence_bin)
             self._y_prev = self._y_cur
             self._y_cur = y
             y_out[:, s - init_sample] = y

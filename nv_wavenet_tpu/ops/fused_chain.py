@@ -46,9 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.ops import exact_math as em
 from nv_wavenet_tpu.ops.persistent import (
-    _dot, softmax_canonical, fixed_tree_select, prng_uniform_sel,
-    _padded_bytes)
+    _dot, prng_uniform_sel, _padded_bytes)
 
 
 def _row_stride(R: int, pack_gates: bool = False) -> int:
@@ -166,7 +166,7 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
         ).astype(compute_dtype)
         x0 = _dot(onehot, embed[...].astype(compute_dtype), precision)
         if cfg.tanh_embed:
-            x0 = jnp.tanh(x0)
+            x0 = em.tanh(x0)
         x0 = x0.astype(compute_dtype)
 
         # dilated-prev GEMMs: inputs are last-step ring state, so all L are
@@ -195,8 +195,10 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                 u = u + _dot(hbuf[:, :l * P],
                              g_pack[off:off + l * P, :].astype(compute_dtype),
                              precision)
-            h = (jnp.tanh(u[:, :R])
-                 * jax.nn.sigmoid(u[:, R:])).astype(compute_dtype)
+            # same canonical gate lowering as the exact kernel (the fold's
+            # matmul reassociation stays the only draft-vs-exact divergence)
+            h = (em.tanh(u[:, :R])
+                 * em.sigmoid(u[:, R:])).astype(compute_dtype)
             hbuf[:, l * P:l * P + R] = h
             hs.append(h)
 
@@ -211,18 +213,18 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                   precision) + end_b[0].astype(jnp.float32)
 
         if mode != "argmax":
-            p = softmax_canonical(za)
+            e_soft, cum_soft = em.softmax_cumsum(za)
         if mode == "argmax":
             y = jnp.argmax(za, axis=-1).astype(jnp.int32)
         elif mode == "forced":
             y = sel[j].astype(jnp.int32)
-            p_seq[pl.ds(j, 1)] = p[None]
+            p_seq[pl.ds(j, 1)] = em.softmax_p(e_soft, cum_soft)[None]
         else:
             if mode == "prng":
                 sel_t = prng_uniform_sel(t0_ref[2] + t, B)
             else:
                 sel_t = sel[j][:, None]                    # [B, 1]
-            y = fixed_tree_select(p, sel_t, A, cfg.silence_bin)
+            y = em.select_from_cumsum(cum_soft, sel_t, A, cfg.silence_bin)
 
         # materialize the residual stream x_l and persist the dilation FIFOs
         # (off the dependent chain: overlaps the output stack; must land

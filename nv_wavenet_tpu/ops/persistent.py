@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.ops import exact_math as em
 
 PARAM_ORDER = ("embed", "dil_w", "dil_b", "rs_w", "rs_b",
                "out_w", "out_b", "end_w", "end_b")
@@ -61,32 +62,13 @@ def _dot(a, b, precision):
 
 
 def softmax_canonical(za):
-    """Stable softmax in the contract's canonical fp32 order (max-subtract,
-    exp, divide by the row sum) — shared by the persistent and fused-chain
-    kernels so the sampler consumes identical values."""
-    m = jnp.max(za, axis=-1, keepdims=True)
-    e = jnp.exp(za - m)
-    ssum = jnp.sum(e, axis=-1, keepdims=True)
-    return e / ssum
-
-
-def fixed_tree_select(p, sel_t, A: int, silence_bin: int):
-    """Inverse-CDF selection over the FIXED-TREE prefix sum (Hillis-Steele
-    shift-and-add): the identical fp32 association as the numpy golden /
-    C++ oracle / scan generator, so sampled integers match bit-for-bit by
-    construction (a tri-matmul's MXU summation order differs by ~1 ulp and
-    flips a sample whenever a selector lands in the gap); also log2(A) VPU
-    adds instead of a 24-pass matmul on the critical path.  p: [B, A],
-    sel_t: [B, 1]."""
-    B = p.shape[0]
-    cum = p
-    k = 1
-    while k < A:
-        cum = cum + jnp.concatenate(
-            [jnp.zeros((B, k), jnp.float32), cum[:, :-k]], axis=-1)
-        k *= 2
-    idx = jnp.sum((cum <= sel_t).astype(jnp.int32), axis=-1)
-    return jnp.where(idx < A, idx, silence_bin).astype(jnp.int32)
+    """Normalized probabilities in the contract's canonical fp32 order:
+    e = exact exp(za - max), fixed-tree cumsum for the row sum, p = e/sum
+    (exact_math.softmax_cumsum/softmax_p) — the tolerance-governed p OUTPUT
+    (dump mode / p_seq).  SAMPLING never divides: it compares sel*sum
+    against the unnormalized cumsum (exact_math.select_from_cumsum)."""
+    e, cum = em.softmax_cumsum(za)
+    return em.softmax_p(e, cum)
 
 
 def prng_uniform_sel(seed_plus_t, B: int):
@@ -278,7 +260,7 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
             ).astype(compute_dtype)
             x = _dot(onehot, embed[...].astype(compute_dtype), precision)
         if cfg.tanh_embed:
-            x = jnp.tanh(x)
+            x = em.tanh(x)
         x = x.astype(compute_dtype)
 
         skip = jnp.zeros((B, S), jnp.float32)
@@ -315,7 +297,10 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
             else:
                 z = z + (dil_b[l].astype(jnp.float32)
                          + cond_t[l].astype(jnp.float32))
-            h = jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
+            # canonical gated activation: the bit-identical polynomial
+            # tanh/sigmoid (ops/exact_math.py) shared by golden + C++ +
+            # scan + kernel + scorer
+            h = em.tanh(z[:, :R]) * em.sigmoid(z[:, R:])
             if rs_split:
                 # N-split of the fused residual+skip matmul: per-output-column
                 # dot products are unchanged (exactness-preserving), but the
@@ -368,9 +353,14 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
             _compute_zp(t + 1)
 
         if mode != "argmax" or dump:
-            # stable softmax: needed for sampling and for the dump-mode p
-            # getter; pure argmax decode reads za directly
-            p = softmax_canonical(za)
+            # canonical softmax pieces: e = exact exp(za - max) + fixed-tree
+            # cumsum; sampling compares against the UNNORMALIZED sum (the
+            # reference's semantics, softmax.cuh:150-189 — division-free:
+            # TPU fp32 divide is not correctly rounded), p = e/sum only for
+            # the dump/forced outputs; pure argmax decode reads za directly
+            e_soft, cum_soft = em.softmax_cumsum(za)
+        if dump or mode == "forced":
+            p = em.softmax_p(e_soft, cum_soft)
         if dump:
             dump_refs[2][...] = zs
             dump_refs[3][...] = za
@@ -385,12 +375,12 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
             p_seq[pl.ds(j, 1)] = p[None]
         else:
             # injected-selector (or prng) inverse-CDF sampling over the
-            # canonical fixed-tree prefix sum — see fixed_tree_select
+            # canonical unnormalized fixed-tree prefix sum
             if mode == "prng":
                 sel_t = prng_uniform_sel(t0_ref[2] + t, B)
             else:
                 sel_t = sel[j][:, None]                        # [B, 1]
-            y = fixed_tree_select(p, sel_t, A, cfg.silence_bin)
+            y = em.select_from_cumsum(cum_soft, sel_t, A, cfg.silence_bin)
 
         y_state_out[0, :] = y_cur
         y_state_out[1, :] = y

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.ops import exact_math as em
 
 
 class GenState(NamedTuple):
@@ -72,29 +73,20 @@ def embed_lookup(embed: jax.Array, y_prev: jax.Array, y_cur: jax.Array,
     ).astype(embed.dtype)  # [B, 2A]
     x = jnp.dot(onehot, embed, preferred_element_type=jnp.float32,
                 precision=precision)
-    return jnp.tanh(x) if tanh_embed else x
+    return em.tanh(x) if tanh_embed else x
 
 
-def cumsum_fixed_tree(p: jax.Array) -> jax.Array:
-    """Hillis–Steele inclusive scan with the same fixed fp32 association
-    tree as models/golden.cumsum_fixed_tree — bit-identical prefix sums
-    across numpy / C++ / XLA / Pallas (see that docstring)."""
-    A = p.shape[-1]
-    x = p
-    k = 1
-    while k < A:
-        x = x + jnp.pad(x[..., :-k], [(0, 0)] * (x.ndim - 1) + [(k, 0)])
-        k *= 2
-    return x
+# canonical fixed-association prefix sum (see exact_math.fixed_tree_cumsum)
+cumsum_fixed_tree = em.fixed_tree_cumsum
 
 
-def select_from_probs(p: jax.Array, sel: jax.Array, fallback: int) -> jax.Array:
-    """First bin whose cumulative probability exceeds sel; fallback on scan
-    failure (mirrors `nv_wavenet_reference.cpp:106-121` + `softmax.cuh:155`)."""
-    A = p.shape[-1]
-    cum = cumsum_fixed_tree(p)
-    idx = jnp.sum((cum <= sel[:, None]).astype(jnp.int32), axis=-1)
-    return jnp.where(idx < A, idx, fallback).astype(jnp.int32)
+def select_from_logits(za: jax.Array, sel: jax.Array,
+                       fallback: int) -> jax.Array:
+    """Canonical inverse-CDF draw from logits: the division-free
+    unnormalized-sum comparison shared by every implementation
+    (exact_math.sample_from_logits; reference semantics
+    `softmax.cuh:150-189` + fallback `:155`).  za: [B, A]; sel: [B]."""
+    return em.sample_from_logits(za, sel[:, None], fallback)
 
 
 def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
@@ -131,7 +123,7 @@ def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
              + jnp.dot(x, dw[R:],
                        preferred_element_type=jnp.float32, precision=prec))
         z = z + (params["dil_b"][l] + cond_t[l]).astype(jnp.float32)
-        h = jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
+        h = em.tanh(z[:, :R]) * em.sigmoid(z[:, R:])
         rs = jnp.dot(h.astype(compute_dtype),
                      params["rs_w"][l].astype(compute_dtype),
                      preferred_element_type=jnp.float32, precision=prec)
@@ -148,9 +140,11 @@ def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
         + params["out_b"], 0.0)
     za = jnp.dot(zs.astype(compute_dtype), params["end_w"].astype(compute_dtype),
                  preferred_element_type=jnp.float32, precision=prec) + params["end_b"]
-    m = jnp.max(za, axis=-1, keepdims=True)
-    e = jnp.exp(za - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    # canonical softmax pieces: e = exp(za - max), fixed-tree cumsum; the
+    # sampler compares against the UNNORMALIZED sum (division-free), p is
+    # the normalized tolerance-governed output (exact_math docstring)
+    e, cum = em.softmax_cumsum(za)
+    p = em.softmax_p(e, cum)
     if forced_y_t is not None:
         # teacher forcing: the autoregressive chain consumes ground-truth
         # symbols instead of its own samples (used for exact train-vs-infer
@@ -166,9 +160,9 @@ def wavenet_step(params: Dict, state: GenState, cond_t: jax.Array,
         # kernel) — the reference's host rand() is likewise unspecified.
         key = jax.random.fold_in(jax.random.PRNGKey(seed), state.t)
         u = jax.random.uniform(key, sel_t.shape, jnp.float32)
-        y = select_from_probs(p, u, cfg.silence_bin)
+        y = em.select_from_cumsum(cum, u[:, None], A, cfg.silence_bin)
     else:
-        y = select_from_probs(p, sel_t, cfg.silence_bin)
+        y = em.select_from_cumsum(cum, sel_t[:, None], A, cfg.silence_bin)
     new_state = GenState(ring=ring, y_prev=state.y_cur, y_cur=y, t=state.t + 1)
     aux = {
         "xt": jnp.stack(xt_dump).astype(jnp.float32),      # [L, B, R]

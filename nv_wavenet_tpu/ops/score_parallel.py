@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.ops import exact_math as em
 from nv_wavenet_tpu.ops.persistent import _dot, softmax_canonical
 
 
@@ -100,7 +101,7 @@ def make_parallel_scorer(cfg: WaveNetConfig, batch: int,
         x = (jnp.take(embed[:A], y_prev, axis=0)
              + jnp.take(embed[A:], y_cur, axis=0))             # [T, B, R]
         if cfg.tanh_embed:
-            x = jnp.tanh(x)
+            x = em.tanh(x)
         x = x.astype(compute_dtype)
 
         xt = [] if return_xt else None
@@ -141,7 +142,10 @@ def make_parallel_scorer(cfg: WaveNetConfig, batch: int,
             else:
                 z = z + (dil_b[l].astype(jnp.float32)
                          + cond[:, l].astype(jnp.float32))
-            h = (jnp.tanh(z[..., :R]) * jax.nn.sigmoid(z[..., R:])
+            # canonical gated activation (ops/exact_math.py): bit-identical
+            # to the sequential kernels' per-step gates, so the scorer's
+            # teacher-forced p/za match generation at ANY horizon
+            h = (em.tanh(z[..., :R]) * em.sigmoid(z[..., R:])
                  ).astype(compute_dtype)
             rs = _dot(h.reshape(T * B, R), rs_w[l].astype(compute_dtype),
                       precision).reshape(T, B, R + S)

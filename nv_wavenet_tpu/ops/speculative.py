@@ -44,22 +44,24 @@ import jax
 import jax.numpy as jnp
 
 from nv_wavenet_tpu.config import WaveNetConfig
+from nv_wavenet_tpu.ops import exact_math as em
 from nv_wavenet_tpu.ops import fused_chain, score_parallel
-from nv_wavenet_tpu.ops.persistent import fixed_tree_select
 
 
-def select_window(p_seq: jax.Array, sel: jax.Array, A: int,
+def select_window(za_seq: jax.Array, sel: jax.Array,
                   silence_bin: int) -> jax.Array:
-    """Vectorized inverse-CDF selection over a window: p_seq [T, B, A],
-    sel [T, B] -> y [T, B] int32.  Delegates to the ONE contract-critical
-    sampler (`persistent.fixed_tree_select`): its prefix-sum shifts run
-    along the last axis, so rows of the [T*B, A] reshape see the identical
-    per-row add sequence as the per-step kernels — bit-identical selections
-    with a single implementation to keep in float-association lockstep."""
+    """Vectorized inverse-CDF selection over a window: za_seq [T, B, A]
+    logits, sel [T, B] -> y [T, B] int32.  Delegates to the ONE
+    contract-critical sampler (`exact_math.sample_from_logits`): its
+    softmax/prefix-sum ops run along the last axis, so rows of the [T*B, A]
+    reshape see the identical per-row op sequence as the per-step kernels —
+    bit-identical selections with a single implementation to keep in
+    float-association lockstep."""
     T, B = sel.shape
-    return fixed_tree_select(p_seq.reshape(T * B, A),
-                             sel.reshape(T * B, 1), A,
-                             silence_bin).reshape(T, B)
+    A = za_seq.shape[-1]
+    return em.sample_from_logits(za_seq.reshape(T * B, A),
+                                 sel.reshape(T * B, 1),
+                                 silence_bin).reshape(T, B)
 
 
 def make_speculative_generator(cfg: WaveNetConfig, batch: int, window: int,
@@ -85,7 +87,6 @@ def make_speculative_generator(cfg: WaveNetConfig, batch: int, window: int,
     """
     K = window
     B = batch
-    A = cfg.A
 
     draft_gen = fused_chain.make_fused_generator(
         cfg, batch, K, mode="sample", fast_math=draft_fast_math,
@@ -93,7 +94,8 @@ def make_speculative_generator(cfg: WaveNetConfig, batch: int, window: int,
         pack_gates=draft_pack_gates, interpret=interpret)
     scorer = score_parallel.make_parallel_scorer(cfg, batch,
                                                  prefold_cond=False,
-                                                 return_xt=True)
+                                                 return_xt=True,
+                                                 return_za=True)
     committer = score_parallel.make_state_committer(cfg)
 
     def generate(params: Dict, folded, t0, cond, sel, ring, y_state):
@@ -117,9 +119,9 @@ def make_speculative_generator(cfg: WaveNetConfig, batch: int, window: int,
 
             y_d, _, _ = draft_gen(folded, t_abs[None], cond_k, sel_k,
                                   ring, ys)                       # [K, B]
-            p_seq, ring_v, ys_v, xt = scorer(params, t_abs, cond_k, y_d,
-                                             ring, ys)
-            y_ex = select_window(p_seq, sel_k, A, cfg.silence_bin)
+            _, ring_v, ys_v, xt, za_seq = scorer(params, t_abs, cond_k, y_d,
+                                                 ring, ys)
+            y_ex = select_window(za_seq, sel_k, cfg.silence_bin)
             # the committed window is y_ex itself: where the draft agreed
             # y_ex == y_d, and at the first disagreement y_ex IS the exact
             # kernel's choice (all inputs to step t are exact for t <= first)

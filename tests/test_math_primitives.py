@@ -15,10 +15,17 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from nv_wavenet_tpu.models.golden import _softmax, select_sample
-from nv_wavenet_tpu.ops.scan_generate import embed_lookup, select_from_probs
+from nv_wavenet_tpu.models.golden import select_sample
+from nv_wavenet_tpu.ops import exact_math as em
+from nv_wavenet_tpu.ops.scan_generate import embed_lookup, select_from_logits
 
 HI = jax.lax.Precision.HIGHEST
+
+
+def _softmax(za):
+    """Canonical normalized p (tolerance-governed output path)."""
+    e, cum = em.softmax_cumsum_np(np.asarray(za, np.float32))
+    return em.softmax_p_np(e, cum)
 
 
 def test_gemm_bit_exact_on_integer_inputs():
@@ -67,43 +74,54 @@ def test_softmax_matches_reference_formulation():
     big = (za + np.float32(3e38 / 2)).astype(np.float32)
     p2 = _softmax(big)
     assert np.isfinite(p2).all()
-    want = _softmax(big.astype(np.float64)).astype(np.float32)
+    e64 = np.exp(big.astype(np.float64) - big.max(-1, keepdims=True))
+    want = (e64 / e64.sum(-1, keepdims=True)).astype(np.float32)
     np.testing.assert_allclose(p2, want, rtol=1e-4, atol=1e-7)
 
 
-@pytest.mark.parametrize("formulation", [select_sample,
-                                         lambda p, s, f: np.asarray(
-                                             select_from_probs(
-                                                 jnp.asarray(p),
-                                                 jnp.asarray(s), f))])
+# both canonical sampler entry points take LOGITS: the numpy golden's
+# select_sample and the scan generator's select_from_logits (both delegate
+# to exact_math's unnormalized-sum comparison)
+SELECT_FORMULATIONS = [select_sample,
+                       lambda za, s, f: np.asarray(
+                           select_from_logits(jnp.asarray(za),
+                                              jnp.asarray(s), f))]
+
+
+@pytest.mark.parametrize("formulation", SELECT_FORMULATIONS)
 def test_select_basic_and_edges(formulation):
     A, fallback = 16, 8
-    p = np.full((1, A), 1.0 / A, np.float32)
+    za = np.zeros((1, A), np.float32)          # uniform p = 1/A
     # sel in the middle of bin k selects k
     for k in range(A):
         sel = np.array([(k + 0.5) / A], np.float32)
-        assert formulation(p, sel, fallback)[0] == k
+        assert formulation(za, sel, fallback)[0] == k
     # sel = 0 selects bin 0 (first bin with positive mass)
-    assert formulation(p, np.zeros(1, np.float32), fallback)[0] == 0
+    assert formulation(za, np.zeros(1, np.float32), fallback)[0] == 0
     # mass concentrated in the last bin
-    q = np.zeros((1, A), np.float32)
-    q[0, -1] = 1.0
-    assert formulation(q, np.array([0.3], np.float32), fallback)[0] == A - 1
+    zq = np.full((1, A), -60.0, np.float32)
+    zq[0, -1] = 60.0
+    assert formulation(zq, np.array([0.3], np.float32), fallback)[0] == A - 1
 
 
-@pytest.mark.parametrize("formulation", [select_sample,
-                                         lambda p, s, f: np.asarray(
-                                             select_from_probs(
-                                                 jnp.asarray(p),
-                                                 jnp.asarray(s), f))])
+@pytest.mark.parametrize("formulation", SELECT_FORMULATIONS)
 def test_select_scan_failure_falls_back_to_silence(formulation):
-    """When sel >= total mass (possible when fp32 cumsum tops out below the
-    selector) every cumsum entry is <= sel and the scan 'fails'; the
-    reference emits bin 128 = silence (`softmax.cuh:155`)."""
+    """The reference's sampler can 'fail the scan' and emit bin 128
+    (`softmax.cuh:155`).  The canonical unnormalized comparison makes that
+    structurally impossible for in-domain selectors — sel*sum always rounds
+    strictly below the final cumsum entry for sel <= 1-2^-24 (an improvement
+    over the old normalized form, where total fp32 mass < sel failed) — so
+    the defensive fallback branch is exercised with an out-of-domain
+    selector, and the in-domain worst case must select the last bin."""
     A, fallback = 16, 8
-    p = np.full((1, A), (1.0 - 1e-3) / A, np.float32)  # total mass < 1
-    sel = np.array([0.99999], np.float32)
-    assert formulation(p, sel, fallback)[0] == fallback
+    za = np.zeros((1, A), np.float32)
+    # out-of-domain selector: thr = 1.5*sum > every cumsum entry -> fallback
+    assert formulation(za, np.array([1.5], np.float32), fallback)[0] \
+        == fallback
+    # in-domain worst case: sel = 1 - 2^-24 picks the last bin, not fallback
+    sel = np.array([np.nextafter(np.float32(1.0), np.float32(0.0))],
+                   np.float32)
+    assert formulation(za, sel, fallback)[0] == A - 1
 
 
 def test_cumsum_fixed_tree_bit_identical_across_impls():
