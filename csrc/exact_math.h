@@ -4,10 +4,13 @@
 // build flags): GCC contracting any mul+add below into an FMA would change
 // the rounding and break the cross-implementation bit-identity the
 // exact-match contract rests on.  Division-free on the contract path: fp32
-// division is not correctly rounded on TPU, so tanh/sigmoid use a
-// polynomial-seeded Newton reciprocal built from exactly-rounded mul/add
-// only.  Every operation here matches the numpy and jnp (XLA/Mosaic)
-// implementations bit-for-bit (tests/test_exact_math.py).
+// division is not correctly rounded on TPU, so tanh/sigmoid use a single
+// degree-9 reciprocal polynomial built from exactly-rounded mul/add only.
+// All polynomials evaluate in the NORMATIVE Estrin association documented
+// in exact_math.py (the tree is part of the canonical lowering — it halves
+// the TPU kernel's dependent-chain depth vs Horner).  Every operation here
+// matches the numpy and jnp (XLA/Mosaic) implementations bit-for-bit
+// (tests/test_exact_math.py).
 //
 // Constants from tools/gen_exact_math_coeffs.py; keep the three
 // implementations in lockstep — any change lands in all of them or none.
@@ -36,29 +39,30 @@ inline float em_exp(float x) {
   x = x > 88.0f ? 88.0f : x;
   float k = std::floor(x * kLog2e + 0.5f);
   float r = (x - k * kLn2Hi) - k * kLn2Lo;
-  float p = 0x1.6d7536p-10f;             // c6
-  p = p * r + 0x1.123d86p-7f;            // c5
-  p = p * r + 0x1.5554acp-5f;            // c4
-  p = p * r + 0x1.55547cp-3f;            // c3
-  p = p * r + 0.5f;                      // c2
-  p = p * r + 1.0f;                      // c1
-  p = p * r + 1.0f;                      // c0
+  float r2 = r * r;
+  float r4 = r2 * r2;
+  float pA = 0x1.6d7536p-10f * r2 + (0x1.123d86p-7f * r + 0x1.5554acp-5f);
+  float pB = 0x1.55547cp-3f * r + 0.5f;
+  float pC = r + 1.0f;
+  float p = pA * r4 + (pB * r2 + pC);
   int32_t ki = (int32_t)k;
   float scale = bits_to_float((ki + 127) << 23);
   return p * scale;
 }
 
-// 1/(1+e) for e in [0, 1], division-free (poly seed + one Newton step)
+// 1/(1+e) for e in [0, 1], division-free: one degree-9 polynomial (Estrin)
 inline float em_recip_1p(float e) {
-  float y = 0x1.2e9e8cp-4f;              // r6
-  y = y * e + -0x1.5133a0p-2f;           // r5
-  y = y * e + 0x1.59c714p-1f;            // r4
-  y = y * e + -0x1.d06c3cp-1f;           // r3
-  y = y * e + 0x1.f9069ap-1f;            // r2
-  y = y * e + -0x1.ff99c6p-1f;           // r1
-  y = y * e + 0x1.ffff06p-1f;            // r0
-  float d = 1.0f + e;
-  return y * (2.0f - d * y);
+  float e2 = e * e;
+  float e4 = e2 * e2;
+  float e8 = e4 * e4;
+  float q0 = -0x1.fffef8p-1f * e + 0x1.fffffep-1f;    // R1 e + R0
+  float q1 = -0x1.fe110ap-1f * e + 0x1.ffdbfcp-1f;    // R3 e + R2
+  float q2 = -0x1.c4ffa4p-1f * e + 0x1.f22c3cp-1f;    // R5 e + R4
+  float q3 = -0x1.90ca58p-2f * e + 0x1.5ccfdap-1f;    // R7 e + R6
+  float q4 = -0x1.874680p-6f * e + 0x1.235bd0p-3f;    // R9 e + R8
+  float h0 = q1 * e2 + q0;
+  float h1 = q3 * e2 + q2;
+  return q4 * e8 + (h1 * e4 + h0);
 }
 
 // canonical fp32 tanh
@@ -66,12 +70,11 @@ inline float em_tanh(float x) {
   float s = std::fabs(x);
   if (s < 0.5f) {
     float u = x * x;
-    float q = 0x1.5f814ep-9f;            // d5
-    q = q * u + -0x1.1a8ffap-7f;         // d4
-    q = q * u + 0x1.65d0fap-6f;          // d3
-    q = q * u + -0x1.ba1802p-5f;         // d2
-    q = q * u + 0x1.11110cp-3f;          // d1
-    q = q * u + -0x1.555556p-2f;         // d0
+    float u2 = u * u;
+    float a = 0x1.5f814ep-9f * u + -0x1.1a8ffap-7f;   // D5 u + D4
+    float b = 0x1.65d0fap-6f * u + -0x1.ba1802p-5f;   // D3 u + D2
+    float c = 0x1.11110cp-3f * u + -0x1.555556p-2f;   // D1 u + D0
+    float q = (a * u2 + b) * u2 + c;
     return x + (x * u) * q;
   }
   float e2 = em_exp(s * -2.0f);

@@ -54,15 +54,23 @@ class Impl(enum.Enum):
 DEFAULT_VMEM_BUDGET = 100 * 1024 * 1024
 
 
-def _selector_stream(seed: int, t0: int, T: int, B: int,
+def _selector_stream(seed: int, t0, T: int, B: int,
                      pidx: int = 0) -> np.ndarray:
     """Default streaming-feed selectors [T, B]: a vectorized counter-based
     uniform stream (splitmix64 finalizer) keyed on (seed, ABSOLUTE sample
     index, batch row, process).  Chunk-invariant by construction — sample t
     draws the same value however the caller chunks the conditioning — and
     O(T*B) numpy vector ops instead of one RandomState PER SAMPLE on the
-    latency-critical serving path (ADVICE r3 / VERDICT r3 #5)."""
-    t = np.arange(t0, t0 + T, dtype=np.uint64)[:, None]
+    latency-critical serving path (ADVICE r3 / VERDICT r3 #5).
+
+    `t0` may be a scalar (lockstep) or a PER-ROW [B] vector (ragged feeds,
+    desynced row clocks): row b's column is keyed on t0[b] + step — the
+    same uint64 counter math, so a row's stream depends only on its own
+    absolute clock, never on its batchmates."""
+    t0a = np.asarray(t0, np.uint64)
+    t = np.arange(T, dtype=np.uint64)[:, None] + t0a[None, :] \
+        if t0a.ndim == 1 else np.arange(t0a, t0a + np.uint64(T),
+                                        dtype=np.uint64)[:, None]
     b = np.arange(B, dtype=np.uint64)[None, :]
     with np.errstate(over="ignore"):
         x = (np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
@@ -216,6 +224,15 @@ class WaveNetInfer:
         # are all constructor-fixed, so the plan is engine-immutable
         self._feed_plan: Dict = {}
         self._stream_t: Optional[int] = None  # begin_stream/feed cursor
+        self._stream_t_row = None             # per-row clocks (ragged feeds)
+        # adaptive speculative decode (ops/speculative.DEFAULT_COST):
+        # (V0_us, V1_us, E0_us) — spec round cost ~ V0+V1*K vs exact
+        # per-step E0.  Steers only WHICH equally-exact branch runs;
+        # override after measuring your config (tools/spec_checkpoint_probe)
+        from nv_wavenet_tpu.ops import speculative as _spec
+        self.spec_cost_model = _spec.DEFAULT_COST
+        self.spec_rounds: Optional[int] = None
+        self._spec_branch_dev = None   # device scalar; spec_branch fetches
 
     # ------------------------------------------------------------------
     # weight upload (reference setter parity, `nv_wavenet.cuh:396-415`)
@@ -291,15 +308,23 @@ class WaveNetInfer:
     # ------------------------------------------------------------------
 
     def set_inputs(self, cond: np.ndarray, selectors: Optional[np.ndarray] = None,
-                   seed: int = 0):
+                   seed: Optional[int] = None):
         """cond: [T, L, B, 2R] conditioning; selectors: [T, B] uniforms in
-        [0,1).  If selectors is None they are drawn from a seeded PRNG — the
-        analog of the reference's host-side rand() selectors
-        (`pytorch/wavenet_infer.cu:92-93`), but reproducible.
+        [0,1).  If selectors is None they are drawn from the engine's ONE
+        default selector stream — the splitmix64 counter keyed on (seed,
+        absolute sample index, batch row, process) that `feed` also uses
+        (`_selector_stream`) — the analog of the reference's host-side
+        rand() selectors (`pytorch/wavenet_infer.cu:92-93`), but
+        reproducible AND input-mode-invariant: a default-stream `run()`
+        bit-matches the same utterance generated through `begin_stream`/
+        `feed` chunks (tests/test_engine.py), so served streams replay
+        through run() without manual selector injection.  `seed` defaults
+        to the engine's `sampling_seed` (also the mode="prng" seed).
 
         Under a MULTI-HOST mesh, cond/selectors are this process's batch
         shard (B_local = B_global / process_count); subsequent batch_size
-        arguments are global."""
+        arguments are global; processes draw decorrelated selector streams
+        (the stream is keyed on process index)."""
         T, L, Bl, C = cond.shape
         assert L == self.cfg.num_layers and C == 2 * self.cfg.R, (
             f"cond shape {cond.shape} does not match config "
@@ -308,11 +333,9 @@ class WaveNetInfer:
         assert B <= self.max_batch
         self._check_mesh_batch(B)
         if selectors is None:
-            # decorrelate processes: each owns different utterances
-            proc_seed = seed + 0x9E3779B9 * (jax.process_index()
-                                             if self.mesh is not None else 0)
-            selectors = np.random.RandomState(proc_seed & 0x7FFFFFFF).uniform(
-                0, 1, size=(T, Bl)).astype(np.float32)
+            pidx = jax.process_index() if self.mesh is not None else 0
+            selectors = _selector_stream(
+                self.sampling_seed if seed is None else seed, 0, T, Bl, pidx)
         assert selectors.shape == (T, Bl)
         # stage inputs on device ONCE (the analog of the reference's
         # device-pointer input path, `nv_wavenet_conversions.cuh:38-42` /
@@ -461,6 +484,15 @@ class WaveNetInfer:
             ring=st.ring.at[:, idx, :].set(0),
             y_prev=st.y_prev.at[idx].set(sil),
             y_cur=st.y_cur.at[idx].set(sil))
+        if self._stream_t_row is not None and self.mesh is None:
+            # the reset slot restarts its ABSOLUTE clock at 0, like a fresh
+            # engine: its default selector stream and ring phase are those
+            # of a new utterance (a zero ring is phase-free, so the stored
+            # absolute convention is trivially consistent).  This desyncs
+            # the row from its batchmates; subsequent feeds route through
+            # the ragged kernel automatically — handover no longer waits
+            # for a shared chunk boundary (VERDICT r4 #3).
+            self._stream_t_row[list(rows)] = 0
 
     # ------------------------------------------------------------------
     # implementation selection
@@ -805,10 +837,14 @@ class WaveNetInfer:
         self._reset_state(batch_size)
         self._stream_t = 0
         self._stream_batch = batch_size
+        # per-row absolute clocks (ragged feeds / slot handover may desync
+        # rows); _stream_t stays their max for the aligned-only surfaces
+        self._stream_t_row = np.zeros(batch_size, np.int64)
 
     def feed(self, cond_chunk: np.ndarray,
              selectors_chunk: Optional[np.ndarray] = None,
-             mode: str = "sample") -> np.ndarray:
+             mode: str = "sample",
+             lengths=None) -> np.ndarray:
         """Generate len(cond_chunk) samples continuing the stream; returns
         y [batch, n] int32.  Chunk lengths may vary call-to-call and need not
         align to the kernel chunk (in-kernel n_valid masking keeps carried
@@ -817,15 +853,27 @@ class WaveNetInfer:
         carried-state contract, and DEFAULT selectors are drawn from one
         logical stream keyed on the ABSOLUTE sample index (like mode="prng"),
         so the generated audio is invariant to how the caller chunks the
-        conditioning.  (The default stream differs from `set_inputs`'s
-        all-upfront seeded draw — inject selectors to reproduce across the
-        two input modes.)"""
+        conditioning — AND identical to `set_inputs(selectors=None)` +
+        `run()` over the same window (one default stream across input
+        modes; a served utterance replays through run() directly).
+
+        PER-ROW ragged feeds (VERDICT r4 #3 — true continuous batching):
+        `lengths` [batch] gives each row its OWN number of valid steps this
+        call (0 allowed: a stalled frontend doesn't stall its batchmates).
+        Row b consumes cond_chunk[:lengths[b], :, b] and advances its own
+        absolute clock; its samples (y[b, :lengths[b]]; the tail is zero
+        padding) bit-match the row generated alone — desynced streams
+        coexist in one batch, and `reset_utterances` slot handover no
+        longer waits for the slowest stream.  Default selectors stay
+        per-row-clock keyed, so raggedness never changes what a row
+        generates.  Single-process engines; mode='sample' only."""
         return self._fetch_y(self.feed_device(cond_chunk, selectors_chunk,
-                                              mode))
+                                              mode, lengths))
 
     def feed_device(self, cond_chunk,
                     selectors_chunk: Optional[np.ndarray] = None,
-                    mode: str = "sample"):
+                    mode: str = "sample",
+                    lengths=None):
         """`feed` without the host readout: returns the DEVICE y [n, batch].
         A serving loop that post-processes on device (mu-law decode) or
         pipelines readout against the next chunk's compute avoids one
@@ -844,6 +892,17 @@ class WaveNetInfer:
             # a frontend may legitimately produce no frames this tick; the
             # kernel grid (and the feed chunk clamp) need T >= 1
             return jnp.zeros((0, Bc), jnp.int32)
+        aligned = (self._stream_t_row is None
+                   or bool(np.all(self._stream_t_row
+                                  == self._stream_t_row[0])))
+        if lengths is not None or not aligned:
+            la = (np.full(B, T, np.int64) if lengths is None
+                  else np.asarray(lengths, np.int64))
+            if not (aligned and la.min() == la.max() == T):
+                # per-row ragged feed, or rows already desynced (a lockstep
+                # kernel shares one ring phase across the batch)
+                return self._feed_ragged(cond_chunk, selectors_chunk, mode,
+                                         la)
         if selectors_chunk is None:
             if mode == "sample":
                 pidx = jax.process_index() if self.mesh is not None else 0
@@ -856,6 +915,8 @@ class WaveNetInfer:
         impl = self._resolve_impl(B)
         t0 = self._stream_t
         self._stream_t += T
+        if self._stream_t_row is not None:
+            self._stream_t_row += T
         if self.mesh is None and not (impl == Impl.MANYBLOCK
                                       and mode == "prng"):
             # serving fast path: ONE dispatch per feed (see _feed_dispatch)
@@ -921,8 +982,86 @@ class WaveNetInfer:
         y, self._ring, self._y_state = out[0], out[1], out[2]
         return y
 
+    def _feed_ragged(self, cond, sel, mode: str, lengths: np.ndarray):
+        """Per-row ragged feed (see `feed`): each row consumes its own
+        prefix lengths[b] of the chunk and advances its own absolute clock.
+
+        Kernel side (`ops/persistent.py` ragged=True): a per-row validity
+        vector gates every state write, and ring addressing is CALL-LOCAL —
+        the per-row ABSOLUTE phase difference lives entirely in two
+        `rotate_ring_phase` gathers inside this one jitted dispatch (entry:
+        stored absolute -> call-local; exit: back), so the kernel's
+        per-step loop is exactly the lockstep kernel's, with no per-row
+        dynamic indexing on the sample chain."""
+        if self.mesh is not None:
+            raise ValueError(
+                "ragged feeds: single-process engines only (shard desynced "
+                "streams across engine instances; in-batch rows shard on "
+                "one chip)")
+        if mode != "sample":
+            raise ValueError(
+                "ragged feeds: mode='sample' only (prng/forced are keyed "
+                "on one shared absolute clock)")
+        B = self._stream_batch
+        T = cond.shape[0]
+        if not (lengths.shape == (B,) and lengths.min() >= 0
+                and lengths.max() <= T):
+            raise ValueError(
+                f"ragged feed lengths {lengths} must be [batch={B}] with "
+                f"0 <= n <= cond length {T}")
+        if lengths.max() == 0:
+            return jnp.zeros((0, B), jnp.int32)
+        impl = self._resolve_impl(B)
+        if impl == Impl.MANYBLOCK:
+            raise ValueError(
+                "ragged feeds need the VMEM-resident persistent kernel; "
+                "this config streams weights from HBM (MANYBLOCK)")
+        if sel is None:
+            sel = _selector_stream(self.sampling_seed, self._stream_t_row,
+                                   T, B)
+        chunk = min(self._effective_chunk(B, False, False), -(-T // 8) * 8)
+        key = ("feedrag", T, B, chunk)
+        if key not in self._feed_cache:
+            gen = persistent.make_persistent_generator(
+                self.cfg, B, chunk, mode="sample",
+                weight_dtype=self.weight_dtype,
+                compute_dtype=self.compute_dtype,
+                interpret=self._interpret(),
+                fast_math=self._effective_fast_math(False),
+                prefold_cond=True, ragged=True)
+            pad = (-T) % chunk
+
+            def f(params, dil_b, cond, sel, ring, y_state, t0_row, nvr):
+                cond_pre = (jnp.asarray(cond, jnp.float32)
+                            + dil_b[None, :, None, :])
+                sel = jnp.asarray(sel, jnp.float32)
+                if pad:
+                    cond_pre = jnp.pad(
+                        cond_pre, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                    sel = jnp.pad(sel, ((0, pad), (0, 0)))
+                ring_l = persistent.rotate_ring_phase(self.cfg, ring,
+                                                      t0_row, +1)
+                y, ring_l, ys = gen(params, jnp.zeros(1, jnp.int32),
+                                    cond_pre, sel, ring_l, y_state,
+                                    n_valid=jnp.max(nvr), n_valid_row=nvr)
+                ring_a = persistent.rotate_ring_phase(self.cfg, ring_l,
+                                                      t0_row, -1)
+                return y[:T], ring_a, ys
+
+            self._feed_cache[key] = jax.jit(f, donate_argnums=(4, 5))
+        out = self._feed_cache[key](
+            self._device_params(), self._dil_b_folded(), cond, sel,
+            self._ring, self._y_state,
+            np.asarray(self._stream_t_row, np.int32),
+            np.asarray(lengths, np.int32))
+        y, self._ring, self._y_state = out
+        self._stream_t_row = self._stream_t_row + lengths
+        self._stream_t = int(self._stream_t_row.max())
+        return y
+
     def run_speculative(self, num_samples: int, batch_size: int,
-                        window: int = 256) -> np.ndarray:
+                        window: int = 256,
+                        adaptive: bool = True) -> np.ndarray:
         """Exact-contract sampling via SPECULATIVE EXACT DECODE
         (ops/speculative): draft `window` steps with the fused fast kernel,
         verify them in one time-parallel pass of the exact scorer, commit
@@ -935,22 +1074,42 @@ class WaveNetInfer:
         feature: the whole batch commits in lockstep at the first
         disagreement of any row, so speedup decays with batch; use
         batch_size=1 (or small) where single-stream rate matters.
+
+        adaptive=True (the default) makes the tier SELF-GOVERNING
+        (ops/speculative.make_adaptive_generator): a short on-device probe
+        measures the draft's committed-run length and the remainder runs on
+        the fastest of {speculative@window, @window/2, the exact kernel} —
+        so serving callers never lose ~2x to run() on trained (peaked)
+        checkpoints where drafts flip every ~35 steps (`hw_r04.log` H1),
+        while cold/flat distributions keep the speculative win.  The
+        decision never affects output bits, only speed; the cost model is
+        `self.spec_cost_model` (V0_us, V1_us, E0_us — speculative round
+        cost ~ V0+V1*K vs exact per-step E0; defaults measured on flagship
+        b=1).  `spec_branch` afterwards holds the chosen branch (0=window,
+        1=window/2, 2=exact fallback, -1=run too short to probe, None for
+        adaptive=False).  adaptive=False is the raw fixed-window tier.
+
         `spec_rounds` afterwards holds the number of draft-verify rounds
         (num_samples/spec_rounds ~ average committed run length).
-        The default window=256 is the measured b=1 flagship optimum
-        (126.5 kHz/utt vs 115.5 exact, BASELINE.md speculative table);
-        below ~128 the per-round verify/commit overhead dominates."""
+        The fixed-tier window=256 default is the measured b=1 flagship
+        optimum (126.5 kHz/utt vs 115.5 exact, BASELINE.md speculative
+        table); below ~128 the per-round verify/commit overhead dominates."""
         y, rounds = self._run_speculative_device(num_samples, batch_size,
-                                                 window)
+                                                 window, adaptive)
         self.spec_rounds = int(rounds)
         return np.asarray(y).T
 
     def _run_speculative_device(self, num_samples: int, batch_size: int,
-                                window: int = 256):
+                                window: int = 256, adaptive: bool = False):
         """`run_speculative` without host readout: returns DEVICE
         (y [T, B], rounds) — perf harnesses tail-fetch y themselves."""
-        assert self._cond is not None, "set_inputs must be called first"
-        assert self.mesh is None, "speculative decode: single-process only"
+        if self._cond is None:
+            raise ValueError("set_inputs must be called first")
+        if self.mesh is not None:
+            raise ValueError(
+                "speculative decode: single-process engines only (its "
+                "lockstep commit is a per-batch scalar loop; at multi-chip "
+                "batch the exact kernel wins anyway — BASELINE.md)")
         # the bit-match-vs-run() contract requires run() itself to be on a
         # DETERMINISTIC path: the exact kernel, or the bf16-weights tier
         # (rounded storage, canonical fp32 compute).  fast_math / fuse_chain
@@ -965,16 +1124,28 @@ class WaveNetInfer:
         B = batch_size
         sel = self._selectors[:num_samples, :B]
         cond = self._cond[:num_samples, :, :B]
-        assert sel.shape[0] == num_samples and cond.shape[0] == num_samples, (
-            f"set_inputs holds {cond.shape[0]} steps of conditioning; "
-            f"cannot generate {num_samples}")
+        if not (sel.shape[0] == num_samples and cond.shape[0] == num_samples):
+            raise ValueError(
+                f"set_inputs holds {self._cond.shape[0]} steps of "
+                f"conditioning; cannot generate {num_samples}")
         self._reset_state(B)
-        key = ("spec", num_samples, B, window)
-        if key not in self._gen_cache:
-            from nv_wavenet_tpu.ops import speculative
-            self._gen_cache[key] = jax.jit(
-                speculative.make_speculative_generator(
-                    self.cfg, B, window, interpret=self._interpret()))
+        from nv_wavenet_tpu.ops import speculative
+        if adaptive:
+            key = ("spec_adaptive", num_samples, B, window,
+                   tuple(self.spec_cost_model))
+            if key not in self._gen_cache:
+                self._gen_cache[key] = jax.jit(
+                    speculative.make_adaptive_generator(
+                        self.cfg, B, window,
+                        chunk=self._effective_chunk(B, False, False),
+                        cost=self.spec_cost_model,
+                        interpret=self._interpret()))
+        else:
+            key = ("spec", num_samples, B, window)
+            if key not in self._gen_cache:
+                self._gen_cache[key] = jax.jit(
+                    speculative.make_speculative_generator(
+                        self.cfg, B, window, interpret=self._interpret()))
         if self._spec_prep is None:
             # the draft kernel's weight fold (prefold_cond=False: raw cond),
             # once per weight upload like _fused_weights
@@ -985,10 +1156,23 @@ class WaveNetInfer:
         # upcasts storage to fp32 (exact), so bf16-weights engines verify
         # with the same rounded weights their kernels compute with and the
         # bit-match-vs-run() contract extends to that deterministic tier
-        y, self._ring, self._y_state, rounds = self._gen_cache[key](
+        out = self._gen_cache[key](
             self._device_params(self.weight_dtype), self._spec_prep,
             np.array([0]), cond, sel, self._ring, self._y_state)
+        y, self._ring, self._y_state, rounds = out[:4]
+        # keep the branch as a DEVICE scalar: an int() here would force a
+        # sync inside perf's timed dispatch loops; `spec_branch` fetches
+        self._spec_branch_dev = out[4] if adaptive else None
         return y, rounds
+
+    @property
+    def spec_branch(self) -> Optional[int]:
+        """Branch the last ADAPTIVE run_speculative picked: 0=window,
+        1=window/2, 2=exact-kernel fallback, -1=run too short to probe;
+        None when the last call was the fixed tier (adaptive=False)."""
+        if self._spec_branch_dev is None:
+            return None
+        return int(self._spec_branch_dev)
 
     def score_device(self, cond_chunk, y_chunk):
         """Teacher-forced scoring of a KNOWN symbol window, continuing the
@@ -1006,15 +1190,38 @@ class WaveNetInfer:
         is the TEMPERED distribution, like the kernels' forced mode.  No
         reference analog: the reference can only score via its training
         model from t=0 (`pytorch/wavenet.py:102-145`); this scores
-        mid-stream from any generation state."""
-        assert self.mesh is None, (
-            "score_device: single-process engines only (shard the batch "
-            "by engine instance for multi-chip scoring)")
-        assert self._stream_t is not None, (
-            "call begin_stream(batch_size) first")
+        mid-stream from any generation state.
+
+        MESH-capable like run/feed (the scorer is batch-parallel by
+        construction — its [T*B, C] matmuls shard on B with zero
+        cross-chip traffic): under a mesh, cond_chunk/y_chunk are this
+        process's batch shard and the returned p_seq is batch-sharded the
+        same way (multihost callers read their own utterances' rows, as
+        with set_inputs)."""
+        if self._stream_t is None:
+            raise ValueError("call begin_stream(batch_size) first")
+        if (self._stream_t_row is not None
+                and not np.all(self._stream_t_row == self._stream_t)):
+            raise ValueError(
+                "score_device: rows are desynced (ragged feeds / slot "
+                "handover); the time-parallel scorer shares one absolute "
+                "clock — realign rows or score per-row via a fresh engine")
         B = self._stream_batch
         T, L, Bc, C = cond_chunk.shape
-        assert Bc == B and L == self.cfg.num_layers and C == 2 * self.cfg.R
+        if not (Bc * self._n_proc() == B and L == self.cfg.num_layers
+                and C == 2 * self.cfg.R):
+            raise ValueError(
+                f"score_device: cond_chunk shape {cond_chunk.shape} does not "
+                f"match stream batch {B} / config (L={self.cfg.num_layers}, "
+                f"2R={2 * self.cfg.R})")
+        if np.shape(y_chunk) != (T, Bc):
+            raise ValueError(f"score_device: y_chunk shape "
+                             f"{np.shape(y_chunk)} != {(T, Bc)}")
+        if self.mesh is not None:
+            cond_chunk = self._shard(jnp.asarray(cond_chunk, jnp.float32),
+                                     P(None, None, "data", None))
+            y_chunk = self._shard(jnp.asarray(y_chunk, jnp.int32),
+                                  P(None, "data"))
         key = ("score", T, B)
         if key not in self._feed_cache:
             from nv_wavenet_tpu.ops import score_parallel

@@ -343,8 +343,17 @@ def make_fused_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                  if compute_dtype == jnp.float32 and not fast_math
                  else jax.lax.Precision.DEFAULT)
 
-    kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode,
-                               compute_dtype, precision, unroll, pack_gates)
+    _body = functools.partial(_kernel_body, cfg, batch, chunk, mode,
+                              compute_dtype, precision, unroll, pack_gates)
+
+    if interpret:
+        kernel = _body     # interpret lowers through XLA: keep FMA guards
+    else:
+        def kernel(*refs):
+            # elide anti-FMA guards inside the Mosaic body (see
+            # exact_math.mosaic_guards_off; same rationale as persistent.py)
+            with em.mosaic_guards_off():
+                _body(*refs)
 
     g_rows = max(P * L * (L - 1) // 2, P)
     w_shapes = {

@@ -93,7 +93,7 @@ def stream_group(L: int, group_size: int = 8):
 def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                  dump: bool, compute_dtype, precision, unroll, prefold_cond,
                  rs_split, stream, stream_gs, stream_prefetch, stream_quant,
-                 prev_prefetch, embed_split,
+                 prev_prefetch, embed_split, ragged,
                  # refs (order fixed by the pallas_call below):
                  t0_ref,                                   # scalar prefetch
                  embed, dil_w, dil_b, rs_w, rs_b, out_w, out_b, end_w, end_b,
@@ -106,7 +106,18 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
         # int8-streamed stacks carry per-layer per-output-channel scales
         dil_s, rs_s = more[0], more[1]
         more = more[2:]
-    cond, sel, ring_in, y_in, y_out, ring_out, y_state_out, *rest = more
+    if ragged:
+        # per-row validity vector (VERDICT r4 #3): row b consumes only the
+        # first n_valid_row[b] steps of this call — desynced streams
+        # coexist in one batch.  Ring addressing is CALL-LOCAL (slot =
+        # s mod d, s = step within call): the engine rotates each row's
+        # FIFOs between the stored ABSOLUTE phase (slot = t_abs mod d) and
+        # the call-local phase outside the kernel (`rotate_ring_phase`),
+        # so per-row absolute times never enter the kernel.
+        (cond, sel, nvr, ring_in, y_in,
+         y_out, ring_out, y_state_out, *rest) = more
+    else:
+        cond, sel, ring_in, y_in, y_out, ring_out, y_state_out, *rest = more
     if prev_prefetch:
         # cross-sample software pipelining of the dilated-prev GEMMs (the
         # reference's P5, `nv_wavenet_singleblock.cuh:251-255`): zp_buf
@@ -238,6 +249,11 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
     def _do_sample_step(j, t):
         y_prev = y_state_out[0, :]
         y_cur = y_state_out[1, :]
+        if ragged:
+            # prefix validity: row b is live at call-local step s iff
+            # s < n_valid_row[b]; dead rows still flow through the batched
+            # GEMMs (their results are masked out of every state write)
+            valid_b = (i * chunk + j) < nvr[0, :]          # [B]
         # one dynamic time-slice per step; per-layer access is then static
         cond_t = cond[j]                                   # [L, B, 2R]
 
@@ -283,7 +299,16 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                 dw, rw = layer_weights(l, i * chunk + j)
             else:
                 x_prev = ring[pl.ds(slot, 1)][0, :, q:q + R]  # x^l_{t-d}
-                ring[pl.ds(slot, 1), :, q:q + R] = x.astype(ring.dtype)[None]
+                if ragged:
+                    # dead rows keep their FIFO content (x_prev was just
+                    # read from this very slot — the masked write costs no
+                    # extra VMEM traffic)
+                    xw = jnp.where(valid_b[:, None], x.astype(ring.dtype),
+                                   x_prev)
+                    ring[pl.ds(slot, 1), :, q:q + R] = xw[None]
+                else:
+                    ring[pl.ds(slot, 1), :, q:q + R] = (
+                        x.astype(ring.dtype)[None])
                 dw, rw = layer_weights(l, i * chunk + j)
                 zp = _dot(x_prev.astype(compute_dtype),
                           dw[:R, :].astype(compute_dtype), precision)
@@ -382,9 +407,17 @@ def _kernel_body(cfg: WaveNetConfig, batch: int, chunk: int, mode: str,
                 sel_t = sel[j][:, None]                        # [B, 1]
             y = em.select_from_cumsum(cum_soft, sel_t, A, cfg.silence_bin)
 
-        y_state_out[0, :] = y_cur
-        y_state_out[1, :] = y
-        y_out[pl.ds(j, 1)] = y[None]
+        if ragged:
+            # dead rows freeze: symbol shift register and emitted sample
+            # advance only where the row is live (emitted padding is 0 for
+            # determinism; the engine trims per row)
+            y_state_out[0, :] = jnp.where(valid_b, y_cur, y_prev)
+            y_state_out[1, :] = jnp.where(valid_b, y, y_cur)
+            y_out[pl.ds(j, 1)] = jnp.where(valid_b, y, 0)[None]
+        else:
+            y_state_out[0, :] = y_cur
+            y_state_out[1, :] = y
+            y_out[pl.ds(j, 1)] = y[None]
 
     jax.lax.fori_loop(0, chunk, sample_step, 0, unroll=unroll)
 
@@ -525,7 +558,8 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                               stream_prefetch: bool = False,
                               stream_quant: bool = False,
                               prev_prefetch=None,
-                              embed_split: bool = False):
+                              embed_split: bool = False,
+                              ragged: bool = False):
     # NOTE: Pallas TPU fori_loop supports only unroll=1 or full unroll
     # (=chunk); full unroll multiplies compile time by the chunk length.
     #
@@ -559,6 +593,14 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
     assert not (stream_quant and weight_dtype != jnp.float32), (
         "stream_quant=int8 replaces the streamed stacks' storage dtype; "
         "combine with fp32 weight_dtype only")
+    if ragged:
+        # per-row ragged calls (VERDICT r4 #3): sample mode only (prng is
+        # keyed on one shared absolute clock; forced/dump have no serving
+        # use), VMEM-resident weights, no cross-sample prev prefetch (its
+        # next-step zp reads assume every row advances)
+        assert mode == "sample" and not dump and not stream_weights, (
+            "ragged kernels: mode='sample', no dump, no stream_weights")
+        prev_prefetch = False
     if prev_prefetch is None:
         # default schedule: prefetch the prev GEMMs cross-sample (P5) when
         # weights are VMEM-resident; the streaming kernel computes them
@@ -570,11 +612,23 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
         "prev_prefetch reads next-step prev weights from VMEM-resident "
         "stacks; the streaming kernel computes the prev GEMM in-loop")
 
-    kernel = functools.partial(_kernel_body, cfg, batch, chunk, mode, dump,
-                               compute_dtype, precision, unroll, prefold_cond,
-                               rs_split, stream_weights, stream_group_size,
-                               stream_prefetch, stream_quant,
-                               prev_prefetch, embed_split)
+    _body = functools.partial(_kernel_body, cfg, batch, chunk, mode, dump,
+                              compute_dtype, precision, unroll, prefold_cond,
+                              rs_split, stream_weights, stream_group_size,
+                              stream_prefetch, stream_quant,
+                              prev_prefetch, embed_split, ragged)
+
+    if interpret:
+        # interpret mode lowers the body through XLA (usually XLA:CPU in
+        # tests), which needs the anti-FMA guards — leave them in place
+        kernel = _body
+    else:
+        def kernel(*refs):
+            # Mosaic never contracts mul+add (262k-draw hardware evidence,
+            # exact_math.mosaic_guards_off): elide the guards inside the
+            # kernel body only — ~50 ns/layer off the dependent chain
+            with em.mosaic_guards_off():
+                _body(*refs)
 
     if stream_weights:
         # MANYBLOCK: the per-layer stacks stay in HBM; the kernel
@@ -613,6 +667,10 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
         pl.BlockSpec((chunk, L, B, 2 * R), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((chunk, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + ([
+        # per-row validity vector (ragged kernels)
+        pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ] if ragged else []) + [
         # carried state (aliased to outputs); the ring stays in HBM (ANY) and
         # is DMA'd through ONE VMEM scratch copy inside the kernel
         pl.BlockSpec(memory_space=pl.ANY),
@@ -636,11 +694,16 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                                    memory_space=pltpu.VMEM)]
 
     def generate(params: Dict, t0, cond, sel, ring, y_state, n_valid=None,
-                 seed=0):
+                 seed=0, n_valid_row=None):
         T = cond.shape[0]
         assert T % chunk == 0, f"T={T} must be a multiple of chunk={chunk}"
         if n_valid is None:
             n_valid = T
+        if ragged:
+            assert n_valid_row is not None, (
+                "ragged kernels take n_valid_row [B]; pass t0 = 0 and the "
+                "CALL-LOCAL-phase ring (rotate_ring_phase)")
+            nvr = jnp.asarray(n_valid_row, jnp.int32).reshape((1, B))
         grid = (T // chunk,)
         out_shape = [
             jax.ShapeDtypeStruct((T, B), jnp.int32),
@@ -678,10 +741,11 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
                     weights[wi] = jnp.pad(
                         w, [(0, pl_)] + [(0, 0)] * (w.ndim - 2) + [(0, p)])
         # carried state aliases: inputs are [t0, 9 weights (+2 quant
-        # scales), cond, sel, ring, y_state] -> ring aliases output 1,
-        # y_state output 2
+        # scales), cond, sel, (n_valid_row if ragged), ring, y_state] ->
+        # ring aliases output 1, y_state output 2
         n_w = len(PARAM_ORDER) + (2 if stream_quant else 0)
-        aliases = {1 + n_w + 2: 1, 1 + n_w + 3: 2}
+        rg = 1 if ragged else 0
+        aliases = {1 + n_w + 2 + rg: 1, 1 + n_w + 3 + rg: 2}
         scratch = [pltpu.VMEM(ring.shape, ring.dtype),
                    pltpu.SemaphoreType.DMA(())]
         if prev_prefetch:
@@ -712,6 +776,45 @@ def make_persistent_generator(cfg: WaveNetConfig, batch: int, chunk: int,
         )(jnp.concatenate([jnp.asarray(t0, jnp.int32).reshape((1,)),
                            jnp.asarray(n_valid, jnp.int32).reshape((1,)),
                            jnp.asarray(seed, jnp.int32).reshape((1,))]),
-          *weights, cond, sel, ring, y_state)
+          *weights, cond, sel,
+          *((nvr,) if ragged else ()), ring, y_state)
 
     return generate
+
+
+def rotate_ring_phase(cfg: WaveNetConfig, ring: jax.Array,
+                      t0_row: jax.Array, direction: int) -> jax.Array:
+    """Per-row FIFO phase rotation between the STORED ring convention
+    (slot = t_abs mod d — what every lockstep kernel/scorer reads/writes)
+    and the CALL-LOCAL convention a ragged kernel uses (slot = s mod d,
+    s = step within the call).
+
+    With per-row absolute times t0_row [B] (desynced streams), slot
+    addressing inside a batched kernel would need per-row dynamic indices;
+    instead each row's FIFOs are rotated OUTSIDE the kernel (one XLA gather
+    per dilation segment, ~ring-sized traffic per feed, amortized across
+    the whole feed) so the kernel indexes uniformly:
+
+      entry (direction=+1): local[s] = stored[(s + t0_b) mod d]
+      exit  (direction=-1): stored[a] = local[(a - t0_b) mod d]
+
+    The mapping depends only on t0_b — NOT on how many steps the row
+    actually consumed — so exit restores the absolute convention exactly
+    for every row regardless of its per-row length.  Value-preserving (a
+    pure permutation): the exact-match contract is untouched."""
+    by_seg = {}
+    for l in range(cfg.num_layers):
+        _, _, p_offs, _ = cfg.packed_ring_plan()
+        by_seg[p_offs[l]] = cfg.dilations[l]
+    t0v = jnp.asarray(t0_row, jnp.int32)
+    out = ring
+    for off in sorted(by_seg):
+        d = by_seg[off]
+        if d == 1:
+            continue                       # single-slot FIFO: phase-free
+        seg = out[off:off + d]             # [d, B, lanes]
+        s_idx = jnp.arange(d, dtype=jnp.int32)[:, None]
+        idx = jnp.mod(s_idx + jnp.int32(direction) * t0v[None, :], d)
+        gathered = jnp.take_along_axis(seg, idx[:, :, None], axis=0)
+        out = out.at[off:off + d].set(gathered)
+    return out

@@ -45,7 +45,15 @@ import jax.numpy as jnp
 
 from nv_wavenet_tpu.config import WaveNetConfig
 from nv_wavenet_tpu.ops import exact_math as em
-from nv_wavenet_tpu.ops import fused_chain, score_parallel
+from nv_wavenet_tpu.ops import fused_chain, persistent, score_parallel
+
+# Default cost-model constants for the ADAPTIVE tier (flagship 20L 64R/256S
+# b=1 on TPU v5e, BASELINE.md speculative + headline tables):
+#   speculative round cost ~ V0 + V1 * window  [us]  (draft + verify + commit)
+#   exact kernel per-step cost E0              [us]
+# Overridable per-engine (`WaveNetInfer.spec_cost_model`) — they steer only
+# WHICH equally-exact branch runs, never the output.
+DEFAULT_COST = (145.0, 7.34, 8.66)   # (V0_us, V1_us, E0_us)
 
 
 def select_window(za_seq: jax.Array, sel: jax.Array,
@@ -155,5 +163,119 @@ def make_speculative_generator(cfg: WaveNetConfig, batch: int, window: int,
                 jnp.int32(0))
         _, _, ring, ys, out, rounds = jax.lax.while_loop(cond_fn, body, init)
         return out[:T], ring, ys, rounds
+
+    return generate
+
+
+def expected_commit(K, r):
+    """E[committed samples per round] at window K when draft-vs-exact flips
+    are ~iid with mean run length r (geometric): r * (1 - e^{-K/r}),
+    computed as r * (-expm1(-K/r)) — the naive form cancels to 0 in fp32
+    for saturated r (huge r makes exp(-K/r) round to exactly 1.0).
+    Heuristic control math (native expm1/divide are fine — this steers
+    WHICH equally-exact branch runs, never the output)."""
+    r = jnp.maximum(r, jnp.float32(1.0))
+    return r * (-jnp.expm1(-jnp.float32(K) / r))
+
+
+def invert_commit(K, c):
+    """Estimate the mean run length r from a MEASURED commits-per-round c at
+    window K (inverse of `expected_commit`, 3 fixed-point sweeps); saturated
+    measurements (c ~ K: the draft never missed) map to 'very large'."""
+    c = jnp.maximum(jnp.minimum(c, jnp.float32(K) * 0.999), jnp.float32(1.0))
+    r = c
+    for _ in range(3):
+        r = c / (-jnp.expm1(-jnp.float32(K) / jnp.maximum(r, 1e-3)))
+    return jnp.where(c >= 0.95 * K, jnp.float32(1e9), r)
+
+
+def make_adaptive_generator(cfg: WaveNetConfig, batch: int, window: int,
+                            chunk: int = 64,
+                            probe_window: int = 64,
+                            cost=DEFAULT_COST,
+                            interpret: bool = False):
+    """SELF-GOVERNING speculative exact decode (VERDICT r4 #2): the engine,
+    not the caller, decides whether drafting pays — the AUTO-heuristic idea
+    of the reference (`nv_wavenet.cuh:502-509`) applied to decode tiers.
+
+    One jitted program, zero host round trips: a short PROBE (a few
+    speculative rounds at a small window) measures the draft's committed-run
+    length ON DEVICE, a cost model turns it into per-branch rate estimates,
+    and `lax.switch` runs the remainder on the fastest of
+      {speculative @ window, speculative @ window/2, the exact kernel}.
+    Every branch emits the SAME bit-exact output (probe included — committed
+    samples are exact by the speculative contract), so the decision affects
+    only speed: trained checkpoints whose drafts flip every ~35 steps fall
+    back to the exact kernel (within probe cost, ~2-3%, of running it
+    outright — vs the 2x loss of blind speculation, `hw_r04.log` H1), while
+    cold/flat distributions keep the speculative win.
+
+    `cost` = (V0_us, V1_us, E0_us): speculative round cost ~ V0 + V1*K,
+    exact per-step cost E0 (defaults measured on flagship b=1, BASELINE.md).
+
+    Returns generate(params, folded, t0, cond, sel, ring, y_state) ->
+    (y [T, B], ring', y_state', rounds, branch) with branch 0=window,
+    1=window/2, 2=exact-fallback (-1 when T was too short to probe).
+    """
+    K = window
+    B = batch
+    Kp = min(probe_window, K)
+    Tp = 4 * Kp                       # ~4+ probe rounds
+    V0, V1, E0 = [jnp.float32(v) for v in cost]
+
+    spec_probe = (make_speculative_generator(cfg, B, Kp, interpret=interpret)
+                  if Kp != K else None)
+    spec_full = make_speculative_generator(cfg, B, K, interpret=interpret)
+    spec_half = make_speculative_generator(cfg, B, max(K // 2, 1),
+                                           interpret=interpret)
+    exact_gen = persistent.make_persistent_generator(
+        cfg, B, chunk, mode="sample", prefold_cond=False,
+        interpret=interpret)
+
+    def generate(params: Dict, folded, t0, cond, sel, ring, y_state):
+        T = cond.shape[0]
+        t0 = jnp.asarray(t0, jnp.int32).reshape((1,))
+        if T <= Tp + K:
+            # too short to amortize a probe: plain speculative
+            y, ring, ys, rounds = spec_full(params, folded, t0, cond, sel,
+                                            ring, y_state)
+            return y, ring, ys, rounds, jnp.int32(-1)
+
+        probe = spec_probe or spec_full
+        y1, ring, ys, rounds1 = probe(params, folded, t0, cond[:Tp],
+                                      sel[:Tp], ring, y_state)
+        commit = jnp.float32(Tp) / jnp.maximum(rounds1, 1).astype(jnp.float32)
+        r_hat = invert_commit(Kp, commit)
+
+        def spec_rate(Kb):
+            return expected_commit(Kb, r_hat) / (V0 + V1 * jnp.float32(Kb))
+
+        rates = jnp.stack([spec_rate(K), spec_rate(max(K // 2, 1)),
+                           jnp.float32(1.0) / E0])
+        branch = jnp.argmax(rates).astype(jnp.int32)
+
+        T2 = T - Tp
+        cond2, sel2 = cond[Tp:], sel[Tp:]
+        t1 = t0 + jnp.int32(Tp)
+
+        def b_full(ring, ys):
+            return spec_full(params, folded, t1, cond2, sel2, ring, ys)
+
+        def b_half(ring, ys):
+            return spec_half(params, folded, t1, cond2, sel2, ring, ys)
+
+        def b_exact(ring, ys):
+            pad = (-T2) % chunk
+            cond_p = jnp.pad(jnp.asarray(cond2, jnp.float32),
+                             ((0, pad), (0, 0), (0, 0), (0, 0)))
+            sel_p = jnp.pad(jnp.asarray(sel2, jnp.float32), ((0, pad), (0, 0)))
+            y, ring, ys = exact_gen(params, t1, cond_p, sel_p, ring, ys,
+                                    n_valid=T2)
+            return y[:T2], ring, ys, jnp.int32(0)
+
+        y2, ring, ys, rounds2 = jax.lax.switch(
+            branch, [b_full, b_half, b_exact], ring, ys)
+        return (jnp.concatenate([y1, y2], axis=0), ring, ys,
+                rounds1 + rounds2, branch)
 
     return generate

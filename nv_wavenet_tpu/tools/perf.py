@@ -89,7 +89,8 @@ def device_inputs(args, T, batch):
     return cond, sel
 
 
-def measure(eng, T, batch, iters, sampling, mode=None, spec_window=256):
+def measure(eng, T, batch, iters, sampling, mode=None, spec_window=256,
+            spec_adaptive=False):
     """Tunnel-proof rate measurement: back-to-back device runs, one tiny
     forced tail fetch per run (see bench.py / CLAUDE.md)."""
     if mode == "speculative":
@@ -100,7 +101,8 @@ def measure(eng, T, batch, iters, sampling, mode=None, spec_window=256):
                 f"-m speculative measures sampling mode 'sample' only "
                 f"(speculative decode drafts/verifies sampled trajectories; "
                 f"--sampling {sampling} would be mislabeled)")
-        return measure_speculative(eng, T, batch, iters, spec_window)
+        return measure_speculative(eng, T, batch, iters, spec_window,
+                                   adaptive=spec_adaptive)
     # warmup/compile (tail fetch forces execution; a full host fetch of y is
     # deliberately avoided — tunnel bandwidth varies wildly)
     tail = np.asarray(eng.run_device(T, batch, mode=sampling)[-1])
@@ -113,16 +115,22 @@ def measure(eng, T, batch, iters, sampling, mode=None, spec_window=256):
     return iters * T / (time.time() - t0) / 1e3
 
 
-def measure_speculative(eng, T, batch, iters, window):
+def measure_speculative(eng, T, batch, iters, window, adaptive=False):
     """Speculative exact decode: same tail-fetch methodology; also reports
-    the measured average committed run length (T / rounds)."""
-    y, rounds = eng._run_speculative_device(T, batch, window)
+    the measured average committed run length (T / rounds).  adaptive=True
+    measures the SELF-GOVERNING tier (probe + on-device branch pick,
+    ops/speculative.make_adaptive_generator) and reports which branch the
+    cost model chose."""
+    y, rounds = eng._run_speculative_device(T, batch, window, adaptive)
     np.asarray(y[-1])
-    print(f"  speculative window={window}: {int(rounds)} rounds, "
+    tag = (f"adaptive branch="
+           f"{ {0: f'window {window}', 1: f'window {window // 2}', 2: 'exact-fallback', -1: 'too-short'}.get(eng.spec_branch, '?')}, "
+           if adaptive else "")
+    print(f"  speculative window={window}: {tag}{int(rounds)} rounds, "
           f"avg committed run {T / max(int(rounds), 1):.1f} samples",
           flush=True)
     t0 = time.time()
-    outs = [eng._run_speculative_device(T, batch, window)
+    outs = [eng._run_speculative_device(T, batch, window, adaptive)
             for _ in range(iters)]
     for y, _ in outs:
         np.asarray(y[-1])
@@ -146,7 +154,8 @@ def run_single(args, impl_map):
     cond, sel = device_inputs(args, args.samples, args.batch)
     eng.set_inputs(cond, sel)
     rate = measure(eng, args.samples, args.batch, args.iters, args.sampling,
-                   mode=args.mode, spec_window=args.spec_window)
+                   mode=args.mode, spec_window=args.spec_window,
+                   spec_adaptive=args.spec_adaptive)
     print(f"Sample rate: {rate:.2f} kHz", flush=True)
     print(json.dumps({"khz_per_utterance": round(rate, 2),
                       "khz_total": round(rate * args.batch, 1),
@@ -188,7 +197,8 @@ def run_sweep(args, impl_map):
                 eng.set_inputs(cond, sel)
                 try:
                     rate = measure(eng, T, batch, args.iters, args.sampling,
-                                   mode=mode, spec_window=args.spec_window)
+                                   mode=mode, spec_window=args.spec_window,
+                                   spec_adaptive=args.spec_adaptive)
                 except Exception as e:   # report, keep sweeping (ref parity:
                     # unsupported configs print and continue)
                     print(f"  mode={mode:10s} b={batch:<3d} c={chunk:<4d} "
@@ -229,6 +239,11 @@ def main():
                     choices=["auto", "single", "dual", "persistent",
                              "manyblock", "fused", "fused_pack",
                              "fused_fast", "speculative"])
+    ap.add_argument("--spec_adaptive", action="store_true",
+                    help="mode speculative: measure the SELF-GOVERNING "
+                         "adaptive tier (on-device probe picks window / "
+                         "window/2 / exact-kernel fallback; "
+                         "ops/speculative.make_adaptive_generator)")
     ap.add_argument("--spec_window", type=int, default=256,
                     help="speculative exact decode: draft window K (mode "
                          "speculative — bit-exact contract output drafted "

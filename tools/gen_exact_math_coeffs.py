@@ -67,6 +67,16 @@ def main():
     for i, v in enumerate(c32):
         print(f"  d{i} = {float(v).hex()}  # {v!r}")
 
+    # 1/(1+e) on e in [0, 1], degree 9 — replaces the round-2 seed+Newton:
+    # a single Estrin-evaluated polynomial has ~6 dependent ops vs the
+    # seed(12)+Newton(3) chain's 15 (the library sits on the kernel's
+    # per-layer dependent chain; tools/probe_gate_chain.py).  Chebyshev
+    # convergence for 1/(1+e) on [0,1] is rho = 3+2*sqrt(2): deg-9 leaves
+    # ~2e-8 — below the fp32 rounding floor of the evaluation itself.
+    c_r = fit(lambda e: 1.0 / (1.0 + e), 0.0, 1.0, 9)
+    report("recip_1p 1/(1+e), e in [0,1], degree 9", c_r,
+           lambda e: 1.0 / (1.0 + e), 0.0, 1.0)
+
     # Cody-Waite ln2 split (fdlibm float constants): ln2_hi has 12 trailing
     # zero mantissa bits so k*ln2_hi is exact for |k| <= 2^11
     hi = np.float32(np.frombuffer(np.uint32(0x3F317200).tobytes(),

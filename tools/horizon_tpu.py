@@ -40,13 +40,15 @@ from nv_wavenet_tpu.ops import persistent, scan_generate   # noqa: E402
 from nv_wavenet_tpu.utils import native                    # noqa: E402
 
 
-def chunk_inputs(base_key, i, T_c, L, B, R, backend):
+def chunk_inputs(seed, i, T_c, L, B, R, backend):
     """Chunk i's (cond, sel) on the given backend — identical bits on CPU
-    and TPU (threefry + exactly-rounded range shift)."""
-    k = jax.random.fold_in(base_key, i)
-    k1, k2 = jax.random.split(k)
+    and TPU (threefry + exactly-rounded range shift).  ALL key ops happen
+    inside the backend context: shipping a TPU-resident key to the CPU
+    backend wedges in the cross-backend transfer over the tunnel."""
     dev = jax.local_devices(backend=backend)[0]
     with jax.default_device(dev):
+        k = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        k1, k2 = jax.random.split(k)
         cond = jax.random.uniform(k1, (T_c, L, B, 2 * R), jnp.float32
                                   ) - jnp.float32(0.5)
         sel = jax.random.uniform(k2, (T_c, B), jnp.float32)
@@ -65,7 +67,15 @@ def main():
     ref_w = params_lib.random_reference_weights(cfg, seed=1)
     canon = params_lib.to_canonical(ref_w, cfg)
     params = {k: jnp.asarray(v) for k, v in canon.items()}
-    base_key = jax.random.PRNGKey(42)
+    base_key = 42
+
+    # cross-backend input identity: the whole tool rests on CPU and TPU
+    # producing the same input bits from the same key
+    ch, sh = chunk_inputs(base_key, 0, 8, L, B, R, "cpu")
+    ct, st_ = chunk_inputs(base_key, 0, 8, L, B, R, "tpu")
+    assert np.array_equal(np.asarray(ch), np.asarray(ct))
+    assert np.array_equal(np.asarray(sh), np.asarray(st_))
+    print("cross-backend input identity OK")
 
     # --- C++ oracle (host), chunked with carried state ---
     assert native.available()

@@ -97,14 +97,31 @@ def main():
         for yy, _ in outs:
             np.asarray(yy[-1])
         khz = 3 * T / (time.time() - t0) / 1e3
-        # NOTE: bit-match at T*B near/past ~16k draws is subject to the
-        # documented cross-lowering transcendental limit (docs/DESIGN.md) —
-        # an isolated adjacent-bin self-healing flip is that limit, not a
-        # commit bug (hw_r04.log H2)
+        # with the round-5 bit-identical transcendental library the
+        # bit-match must hold at EVERY window and horizon — any flip is a
+        # regression now, not the (closed) cross-lowering limit
         bitmatch = bool(np.array_equal(np.asarray(outs[-1][0]).T, y_exact))
         print(f"speculative W={W}: {khz:.1f} kHz/utt, {r0} rounds, "
               f"avg committed run {T / max(r0, 1):.1f}, "
               f"bit-match={bitmatch}", flush=True)
+
+    # ADAPTIVE tier (VERDICT r4 #2 done-criterion): on trained weights the
+    # self-governing tier must match the exact kernel within ~5% (probe
+    # cost) by falling back — and stay bit-exact
+    eng.set_inputs(cond, sel)
+    y, rounds = eng._run_speculative_device(T, B, 256, True)
+    np.asarray(y[-1])
+    branch = eng.spec_branch
+    t0 = time.time()
+    outs = [eng._run_speculative_device(T, B, 256, True) for _ in range(3)]
+    for yy, _ in outs:
+        np.asarray(yy[-1])
+    khz_ad = 3 * T / (time.time() - t0) / 1e3
+    bitmatch = bool(np.array_equal(np.asarray(outs[-1][0]).T, y_exact))
+    print(f"ADAPTIVE W=256: {khz_ad:.1f} kHz/utt "
+          f"({khz_ad / khz_exact * 100:.1f}% of exact), branch="
+          f"{ {0: 'window', 1: 'window/2', 2: 'exact-fallback', -1: 'short'}.get(branch, branch)}, "
+          f"bit-match={bitmatch}", flush=True)
 
 
 if __name__ == "__main__":
